@@ -1,0 +1,580 @@
+"""Conditional updaters (Gibbs/MH kernels) for the mixed membership model.
+
+TPU-native re-derivation of the reference's L2 kernel layer
+(inst/include/BayesFMMM/Update*.h, ~80 C++ functions).  Design differences:
+
+  * Every updater is a pure function ``(key, state, ...) -> state`` — no
+    mutable trace cubes; `lax.scan` stacks draws at the driver level.
+  * The {plain, tempered} x {functional, MV, HD} x {covariate-adjusted}
+    variant explosion collapses: temperature ``beta`` is an argument
+    (beta=1 == untempered; the tempered C++ variants differ only by scaling
+    the data-precision terms, e.g. UpdateNu.h:134-136, UpdateSigma.h:101-103),
+    the family is carried by the data's basis/penalty matrices, and
+    covariate terms vanish identically when D == 0.
+  * Per-observation / per-feature C++ loops become batched einsums over
+    precomputed Gram matrices (`data.G`), with sequential blocked draws kept
+    only where the reference's Gibbs factorization requires them (rows of
+    nu, slices of Phi, ...), implemented as `lax.fori_loop` with incremental
+    O(N·L·P) mean updates.
+
+Masking: `data.B` rows and `data.y` entries are pre-zeroed at padded time
+points, so residuals vanish there without explicit mask multiplies; only
+observation *counts* consult `data.mask`.
+
+Cited reference lines document the exact conditional each kernel reproduces.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from bayesfmmm_tpu.ops.distributions import (
+    dirichlet_logpdf_unnormalized,
+    log_multi_beta,
+    mvn_from_precision,
+    rdirichlet,
+    truncnorm_logpdf,
+    truncnorm_sample,
+)
+from bayesfmmm_tpu.ops.mean import SweepCache, build_cache, compute_mu, refresh_mu
+
+_HI = dict(precision="highest")
+
+
+def _ll_quad(y, mu):
+    """Masked squared-residual sum (padded entries contribute zero)."""
+    r = y - mu
+    return jnp.sum(r * r)
+
+
+# ---------------------------------------------------------------------------
+# Z — mixed membership rows (MH with Dirichlet random-walk proposal)
+# Reference: updateZ_PM / updateZTempered_PM (UpdateMixedMembership.h:131-261)
+# and the CovAdj variants (:615-1006).  All N rows are conditionally
+# independent given (nu, Phi, chi, pi, alpha_3, sigma2), so the reference's
+# sequential loop over i is replaced by one fully-vectorized batch.
+# ---------------------------------------------------------------------------
+
+def update_z(key, state, data, hp, cache: SweepCache, beta=1.0):
+    C = cache.Bnu + jnp.einsum("nm,nlkm->nlk", state.chi, cache.BPhi, **_HI)
+
+    def row_loglik(Z):
+        mu = jnp.einsum("nk,nlk->nl", Z, C, **_HI)
+        r = data.y - mu
+        return -beta * jnp.sum(r * r, axis=1) / (2.0 * state.sigma2)
+
+    def row_lprior(Z):
+        return jnp.sum((state.alpha3 * state.pi - 1.0) * jnp.log(Z), axis=1)
+
+    kp, ka = jax.random.split(key)
+    prop_keys = jax.random.split(kp, data.N)
+    Z_new = jax.vmap(rdirichlet)(prop_keys, hp.a_Z_PM * state.Z)
+
+    lp_old = row_loglik(state.Z) + row_lprior(state.Z)
+    lp_new = row_loglik(Z_new) + row_lprior(Z_new)
+    # Hastings correction for the Dirichlet random walk
+    q_fwd = dirichlet_logpdf_unnormalized(Z_new, hp.a_Z_PM * state.Z)
+    q_bwd = dirichlet_logpdf_unnormalized(state.Z, hp.a_Z_PM * Z_new)
+    log_acc = lp_new - lp_old + q_bwd - q_fwd
+
+    # Auto-accept escape hatch when the current row touched the boundary
+    # (UpdateMixedMembership.h:170-174).
+    boundary = jnp.any(state.Z <= 0.0, axis=1)
+    u = jax.random.uniform(ka, (data.N,))
+    accept = jnp.where(jnp.isnan(log_acc), False, jnp.log(u) < log_acc)
+    accept = accept | boundary
+    Z = jnp.where(accept[:, None], Z_new, state.Z)
+    state = state.replace(Z=Z)
+    return state, refresh_mu(cache, Z, state.chi)
+
+
+# ---------------------------------------------------------------------------
+# pi — population allocation (MH with Dirichlet proposal)
+# Reference: updatePi_PM / lpdf_pi_PM (UpdatePi.h:39-116)
+# ---------------------------------------------------------------------------
+
+def update_pi(key, state, hp, c):
+    logZ_colsum = jnp.sum(jnp.log(state.Z), axis=0)
+    N = state.Z.shape[0]
+
+    def lpdf(pi):
+        return (jnp.sum((c - 1.0) * jnp.log(pi))
+                + jnp.sum((state.alpha3 * pi - 1.0) * logZ_colsum)
+                - N * log_multi_beta(state.alpha3 * pi))
+
+    kp, ka = jax.random.split(key)
+    pi_new = rdirichlet(kp, hp.a_pi_PM * state.pi)
+    log_acc = (lpdf(pi_new) - lpdf(state.pi)
+               + dirichlet_logpdf_unnormalized(state.pi, hp.a_pi_PM * pi_new)
+               - dirichlet_logpdf_unnormalized(pi_new, hp.a_pi_PM * state.pi))
+    u = jax.random.uniform(ka)
+    accept = jnp.where(jnp.isnan(log_acc), False, jnp.log(u) < log_acc)
+    return state.replace(pi=jnp.where(accept, pi_new, state.pi))
+
+
+# ---------------------------------------------------------------------------
+# alpha_3 — Dirichlet concentration (truncated-normal MH)
+# Reference: updateAlpha3 / lpdf_alpha3 (UpdateAlpha3.h:10-63).  Deviation:
+# the reference's Hastings term evaluates d_truncnorm at the proposal
+# centered on itself (UpdateAlpha3.h:23-24), which reduces to the truncation
+# normalizer with the wrong sign; we apply the standard correct correction
+# q(old|new) - q(new|old).  Posterior-moment impact is negligible for
+# sd=0.05 but documented here for the parity audit.
+# ---------------------------------------------------------------------------
+
+def update_alpha3(key, state, hp):
+    logZ_colsum = jnp.sum(jnp.log(state.Z), axis=0)
+    N = state.Z.shape[0]
+
+    def lpdf(a3):
+        return (-hp.b * a3
+                + jnp.sum((a3 * state.pi - 1.0) * logZ_colsum)
+                - N * log_multi_beta(a3 * state.pi))
+
+    kp, ka = jax.random.split(key)
+    sd = hp.var_alpha3
+    a_new = truncnorm_sample(kp, state.alpha3, sd)
+    log_acc = (lpdf(a_new) - lpdf(state.alpha3)
+               + truncnorm_logpdf(state.alpha3, a_new, sd)
+               - truncnorm_logpdf(a_new, state.alpha3, sd))
+    u = jax.random.uniform(ka)
+    accept = jnp.where(jnp.isnan(log_acc), False, jnp.log(u) < log_acc)
+    return state.replace(alpha3=jnp.where(accept, a_new, state.alpha3))
+
+
+# ---------------------------------------------------------------------------
+# nu — feature mean coordinates (blocked Gibbs, one K-row at a time)
+# Reference: updateNu (UpdateNu.h:24-74), tempered (:93-144), MV (:160-204),
+# CovAdj (:287+).  Conditional: row j ~ MVN with
+#   precision = (beta/sigma2) * sum_i Z_ij^2 B_i' B_i + tau_j * pen
+#   linear    = (beta/sigma2) * sum_i Z_ij B_i' r_ij
+# where r_ij excludes feature j's own mean term only.
+# ---------------------------------------------------------------------------
+
+def update_nu(key, state, data, hp, cache: SweepCache, beta=1.0):
+    K = state.K
+
+    def body(j, carry):
+        nu, Bnu0, mu = carry
+        zj = state.Z[:, j]
+        own = zj[:, None] * jax.lax.dynamic_index_in_dim(Bnu0, j, 2, False)
+        r = data.y - mu + own
+        s = beta / state.sigma2
+        prec = s * jnp.einsum("n,npq->pq", zj * zj, data.G, **_HI) \
+            + jnp.take(state.tau, j) * data.pen
+        bvec = s * jnp.einsum("n,nl,nlp->p", zj, r, data.B, **_HI)
+        nu_j, _ = mvn_from_precision(jax.random.fold_in(key, j), prec, bvec)
+        Bnu0_j = jnp.einsum("nlp,p->nl", data.B, nu_j, **_HI)
+        mu = mu - own + zj[:, None] * Bnu0_j
+        nu = nu.at[j].set(nu_j)
+        Bnu0 = jax.lax.dynamic_update_index_in_dim(Bnu0, Bnu0_j, j, 2)
+        return nu, Bnu0, mu
+
+    nu, Bnu0, mu = jax.lax.fori_loop(
+        0, K, body, (state.nu, cache.Bnu0, cache.mu), unroll=True)
+    return state.replace(nu=nu), cache.replace(Bnu0=Bnu0, mu=mu)
+
+
+# ---------------------------------------------------------------------------
+# eta — covariate-adjusted mean coordinates (blocked Gibbs over (d, j))
+# Reference: updateEta (UpdateEta.h:28-94); loop order d outer, j inner.
+# ---------------------------------------------------------------------------
+
+def update_eta(key, state, data, hp, cache: SweepCache, beta=1.0):
+    K, D = state.K, data.D
+    if D == 0:
+        return state, cache
+
+    def body(idx, carry):
+        eta, Beta, mu = carry
+        d = idx // K
+        j = idx % K
+        zj = state.Z[:, j]
+        xd = data.X[:, d]
+        w = zj * xd
+        eta_jd = jax.lax.dynamic_slice(eta, (j, 0, d), (1, eta.shape[1], 1))[0, :, 0]
+        own_core = jnp.einsum("nlp,p->nl", data.B, eta_jd, **_HI)
+        own = w[:, None] * own_core
+        r = data.y - mu + own
+        s = beta / state.sigma2
+        prec = s * jnp.einsum("n,npq->pq", w * w, data.G, **_HI) \
+            + state.tau_eta[j, d] * data.pen
+        bvec = s * jnp.einsum("n,nl,nlp->p", w, r, data.B, **_HI)
+        new, _ = mvn_from_precision(jax.random.fold_in(key, idx), prec, bvec)
+        new_core = jnp.einsum("nlp,p->nl", data.B, new, **_HI)
+        mu = mu - own + w[:, None] * new_core
+        eta = jax.lax.dynamic_update_slice(eta, new[None, :, None], (j, 0, d))
+        # Beta cache column j aggregates all covariates; apply the delta.
+        delta_col = xd[:, None] * (new_core - own_core)
+        Beta = Beta.at[:, :, j].add(delta_col)
+        return eta, Beta, mu
+
+    eta, Beta, mu = jax.lax.fori_loop(
+        0, D * K, body, (state.eta, cache.Beta, cache.mu), unroll=True)
+    return state.replace(eta=eta), cache.replace(Beta=Beta, mu=mu)
+
+
+# ---------------------------------------------------------------------------
+# Phi — pseudo-eigenfunction coordinates (blocked Gibbs over (j, m))
+# Reference: updatePhi (UpdatePhi.h:23-89); prior precision is diagonal
+# tilde_tau(j,m) * gamma(j,:,m) (UpdatePhi.h:76-78) with
+# tilde_tau = cumprod(delta) computed in the driver (BFMMM.h:1514-1519).
+# ---------------------------------------------------------------------------
+
+def update_phi(key, state, data, hp, cache: SweepCache, beta=1.0):
+    K, M = state.K, state.M
+    tilde_tau = jnp.cumprod(state.delta, axis=1)  # (K, M)
+
+    def body(idx, carry):
+        Phi, BPhi0, mu = carry
+        j = idx // M
+        m = idx % M
+        zj = state.Z[:, j]
+        cm = state.chi[:, m]
+        w = zj * cm
+        own_core = BPhi0[:, :, j, m]
+        own = w[:, None] * own_core
+        r = data.y - mu + own
+        s = beta / state.sigma2
+        prec = s * jnp.einsum("n,npq->pq", w * w, data.G, **_HI) \
+            + jnp.diag(tilde_tau[j, m] * state.gamma[j, :, m])
+        bvec = s * jnp.einsum("n,nl,nlp->p", w, r, data.B, **_HI)
+        new, _ = mvn_from_precision(jax.random.fold_in(key, idx), prec, bvec)
+        new_core = jnp.einsum("nlp,p->nl", data.B, new, **_HI)
+        mu = mu - own + w[:, None] * new_core
+        Phi = Phi.at[j, :, m].set(new)
+        BPhi0 = BPhi0.at[:, :, j, m].set(new_core)
+        return Phi, BPhi0, mu
+
+    Phi, BPhi0, mu = jax.lax.fori_loop(
+        0, K * M, body, (state.Phi, cache.BPhi0, cache.mu), unroll=True)
+    return state.replace(Phi=Phi), cache.replace(BPhi0=BPhi0, mu=mu)
+
+
+# ---------------------------------------------------------------------------
+# xi — covariate-adjusted eigen coordinates (blocked Gibbs over (j, m, d))
+# Reference: updateXiCovariateAdj (UpdateXi.h:26-93); prior precision
+# tilde_tau_xi(j,m,d) * gamma_xi(j,:,d,m) (UpdateXi.h:77-79).
+# ---------------------------------------------------------------------------
+
+def update_xi(key, state, data, hp, cache: SweepCache, beta=1.0):
+    K, M, D = state.K, state.M, data.D
+    if D == 0:
+        return state, cache
+    tilde_tau_xi = jnp.cumprod(state.delta_xi, axis=1)  # (K, M, D)
+
+    def body(idx, carry):
+        xi, Bxi, mu = carry
+        j = idx // (M * D)
+        m = (idx // D) % M
+        d = idx % D
+        w = state.Z[:, j] * state.chi[:, m] * data.X[:, d]
+        xi_col = xi[j, :, d, m]
+        own_core = jnp.einsum("nlp,p->nl", data.B, xi_col, **_HI)
+        own = w[:, None] * own_core
+        r = data.y - mu + own
+        s = beta / state.sigma2
+        prec = s * jnp.einsum("n,npq->pq", w * w, data.G, **_HI) \
+            + jnp.diag(tilde_tau_xi[j, m, d] * state.gamma_xi[j, :, d, m])
+        bvec = s * jnp.einsum("n,nl,nlp->p", w, r, data.B, **_HI)
+        new, _ = mvn_from_precision(jax.random.fold_in(key, idx), prec, bvec)
+        new_core = jnp.einsum("nlp,p->nl", data.B, new, **_HI)
+        mu = mu - own + w[:, None] * new_core
+        xi = xi.at[j, :, d, m].set(new)
+        Bxi = Bxi.at[:, :, j, m].add(data.X[:, d, None] * (new_core - own_core))
+        return xi, Bxi, mu
+
+    xi, Bxi, mu = jax.lax.fori_loop(
+        0, K * M * D, body, (state.xi, cache.Bxi, cache.mu), unroll=True)
+    return state.replace(xi=xi), cache.replace(Bxi=Bxi, mu=mu)
+
+
+# ---------------------------------------------------------------------------
+# chi — per-observation eigen scores (scalar Gibbs, vectorized over N)
+# Reference: updateChi (UpdateChi.h:19-64): posterior precision 1 + W/sigma2.
+# All observations are independent; only the M loop is sequential.
+# ---------------------------------------------------------------------------
+
+def update_chi(key, state, data, hp, cache: SweepCache, beta=1.0):
+    M = state.M
+    F = jnp.einsum("nk,nlkm->nlm", state.Z, cache.BPhi, **_HI)  # (N, L, M)
+
+    def body(m, carry):
+        chi, mu = carry
+        Fm = jax.lax.dynamic_index_in_dim(F, m, 2, False)       # (N, L)
+        cm = jax.lax.dynamic_index_in_dim(chi, m, 1, False)     # (N,)
+        own = cm[:, None] * Fm
+        r = data.y - mu + own
+        s = beta / state.sigma2
+        w = s * jnp.sum(Fm * r, axis=1)
+        W = 1.0 + s * jnp.sum(Fm * Fm, axis=1)
+        z = jax.random.normal(jax.random.fold_in(key, m), w.shape, w.dtype)
+        new = w / W + z / jnp.sqrt(W)
+        mu = mu - own + new[:, None] * Fm
+        chi = jax.lax.dynamic_update_index_in_dim(chi, new, m, 1)
+        return chi, mu
+
+    chi, mu = jax.lax.fori_loop(0, M, body, (state.chi, cache.mu), unroll=True)
+    return state.replace(chi=chi), cache.replace(mu=mu)
+
+
+# ---------------------------------------------------------------------------
+# sigma^2 — residual variance (conjugate inverse-Gamma)
+# Reference: updateSigma (UpdateSigma.h:22-58); tempered variant scales both
+# shape and rate by beta (UpdateSigma.h:101-103).
+# ---------------------------------------------------------------------------
+
+def update_sigma(key, state, data, hp, cache: SweepCache, beta=1.0):
+    rss = _ll_quad(data.y, cache.mu)
+    a = hp.alpha_0 + beta * data.n_obs_total / 2.0
+    b = hp.beta_0 + beta * rss / 2.0
+    g = jax.random.gamma(key, a)
+    return state.replace(sigma2=b / g)
+
+
+# ---------------------------------------------------------------------------
+# tau — mean smoothness precisions (conjugate Gamma on the penalty quadform)
+# Reference: updateTau (UpdateTau.h:18-36).  The MV inverse-Gamma variant
+# (UpdateTau.h:47-63) is this same Gamma draw on the precision scale with
+# pen = I; trace export reciprocates for the MV family.
+# ---------------------------------------------------------------------------
+
+def update_tau(key, state, data, hp):
+    P = state.nu.shape[1]
+    quad = jnp.einsum("kp,pq,kq->k", state.nu, data.pen, state.nu, **_HI)
+    a = hp.alpha_nu + P / 2.0
+    rate = hp.beta_nu + 0.5 * quad
+    g = jax.random.gamma(key, jnp.full((state.K,), a))
+    return state.replace(tau=g / rate)
+
+
+def update_tau_eta(key, state, data, hp):
+    """Reference: updateTauEta (UpdateTau.h:75-95) / MV (:106-124)."""
+    if data.D == 0:
+        return state
+    P = state.eta.shape[1]
+    quad = jnp.einsum("kpd,pq,kqd->kd", state.eta, data.pen, state.eta, **_HI)
+    a = hp.alpha_eta + P / 2.0
+    rate = hp.beta_eta + 0.5 * quad
+    g = jax.random.gamma(key, jnp.full(quad.shape, a))
+    return state.replace(tau_eta=g / rate)
+
+
+# ---------------------------------------------------------------------------
+# delta — MGP column multipliers (sequential Gibbs over the column index)
+# Reference: updateDelta (UpdateDelta.h:17-64):
+#   shape_i = a(k, i==0 ? 0 : 1) + P*(M-i)/2
+#   rate_i  = 1 + 0.5 sum_j sum_{m>=i} gamma_kjm (prod_{n<=m, n!=i} delta_kn)
+#             phi_kjm^2
+# ---------------------------------------------------------------------------
+
+def update_delta(key, state, hp):
+    K, P, M = state.Phi.shape
+    S = jnp.sum(state.gamma * state.Phi**2, axis=1)  # (K, M)
+    m_idx = jnp.arange(M)
+
+    def body(i, delta):
+        cp = jnp.cumprod(delta.at[:, i].set(1.0), axis=1)   # (K, M)
+        tail = jnp.where(m_idx[None, :] >= i, cp * S, 0.0)
+        rate = 1.0 + 0.5 * jnp.sum(tail, axis=1)            # (K,)
+        shape = jnp.where(i == 0, state.A[:, 0], state.A[:, 1]) \
+            + P * (M - i) / 2.0
+        g = jax.random.gamma(jax.random.fold_in(key, i), shape)
+        return delta.at[:, i].set(g / rate)
+
+    delta = jax.lax.fori_loop(0, M, body, state.delta, unroll=True)
+    return state.replace(delta=delta)
+
+
+def update_delta_xi(key, state, hp):
+    """Reference: updateDeltaXi (UpdateDelta.h:76-125); per-covariate MGP.
+
+    Note the reference's shape for i==0 uses P*M/2 but for i>0 uses
+    P*(M-i)/2 via ``delta.n_cols`` — the same unified formula as updateDelta.
+    """
+    if state.delta_xi.shape[2] == 0:
+        return state
+    K, P, D, M = state.xi.shape[0], state.xi.shape[1], state.xi.shape[2], state.xi.shape[3]
+    # S[k, m, d] = sum_j gamma_xi[k,j,d,m] * xi[k,j,d,m]^2
+    S = jnp.sum(state.gamma_xi * state.xi**2, axis=1).transpose(0, 2, 1)  # (K, M, D)
+    m_idx = jnp.arange(M)
+
+    def body(i, delta):
+        cp = jnp.cumprod(delta.at[:, i, :].set(1.0), axis=1)  # (K, M, D)
+        tail = jnp.where(m_idx[None, :, None] >= i, cp * S, 0.0)
+        rate = 1.0 + 0.5 * jnp.sum(tail, axis=1)              # (K, D)
+        shape = jnp.where(i == 0, state.A_xi[:, 0, :], state.A_xi[:, 1, :]) \
+            + P * (M - i) / 2.0
+        g = jax.random.gamma(jax.random.fold_in(key, i), shape)
+        return delta.at[:, i, :].set(g / rate)
+
+    delta_xi = jax.lax.fori_loop(0, M, body, state.delta_xi, unroll=True)
+    return state.replace(delta_xi=delta_xi)
+
+
+# ---------------------------------------------------------------------------
+# gamma — local t-scale mixture precisions (fully parallel Gibbs)
+# Reference: updateGamma (UpdateGamma.h:17-37):
+#   gamma_kjm ~ Gamma((nu1+1)/2, rate = (nu1 + tilde_tau_km phi_kjm^2)/2)
+# ---------------------------------------------------------------------------
+
+def update_gamma(key, state, hp):
+    tilde_tau = jnp.cumprod(state.delta, axis=1)  # (K, M)
+    rate = (hp.nu_1 + tilde_tau[:, None, :] * state.Phi**2) / 2.0
+    shape = (hp.nu_1 + 1.0) / 2.0
+    g = jax.random.gamma(key, jnp.full(rate.shape, shape))
+    return state.replace(gamma=g / rate)
+
+
+def update_gamma_xi(key, state, hp):
+    """Reference: updateGammaXi (UpdateGamma.h:48-73)."""
+    if state.gamma_xi.shape[2] == 0:
+        return state
+    tilde = jnp.cumprod(state.delta_xi, axis=1)            # (K, M, D)
+    tilde = tilde.transpose(0, 2, 1)                       # (K, D, M)
+    rate = (hp.nu_1 + tilde[:, None, :, :] * state.xi**2) / 2.0
+    shape = (hp.nu_1 + 1.0) / 2.0
+    g = jax.random.gamma(key, jnp.full(rate.shape, shape))
+    return state.replace(gamma_xi=g / rate)
+
+
+# ---------------------------------------------------------------------------
+# A — MGP hyperparameters (truncated-normal MH, vectorized over features)
+# Reference: updateA / lpdf_a1 / lpdf_a2 (UpdateA.h:17-123).
+# ---------------------------------------------------------------------------
+
+def _lpdf_a1(a, delta0, hp):
+    return (-gammaln(a) + (a - 1.0) * jnp.log(delta0)
+            + (hp.alpha1l - 1.0) * jnp.log(a) - a * hp.beta1l)
+
+
+def _lpdf_a2(a, delta_tail_logsum, M_minus_1, hp):
+    return (-M_minus_1 * gammaln(a) + (hp.alpha2l - 1.0) * jnp.log(a)
+            - a * hp.beta2l + (a - 1.0) * delta_tail_logsum)
+
+
+def _mh_truncnorm(key, a_cur, sd, lpdf):
+    kp, ka = jax.random.split(key)
+    a_new = truncnorm_sample(kp, a_cur, sd)
+    log_acc = (lpdf(a_new) + truncnorm_logpdf(a_cur, a_new, sd)
+               - lpdf(a_cur) - truncnorm_logpdf(a_new, a_cur, sd))
+    u = jax.random.uniform(ka, a_cur.shape)
+    accept = jnp.where(jnp.isnan(log_acc), False, jnp.log(u) < log_acc)
+    return jnp.where(accept, a_new, a_cur)
+
+
+def update_a(key, state, hp):
+    M = state.delta.shape[1]
+    k1, k2 = jax.random.split(key)
+    a1 = _mh_truncnorm(
+        k1, state.A[:, 0], hp.var_epsilon1 / hp.beta1l,
+        lambda a: _lpdf_a1(a, state.delta[:, 0], hp))
+    tail = jnp.sum(jnp.log(state.delta[:, 1:]), axis=1)
+    a2 = _mh_truncnorm(
+        k2, state.A[:, 1], hp.var_epsilon2 / hp.beta2l,
+        lambda a: _lpdf_a2(a, tail, M - 1.0, hp))
+    return state.replace(A=jnp.stack([a1, a2], axis=1))
+
+
+def update_a_xi(key, state, hp):
+    """Reference: updateAXi (UpdateA.h:137-205); vectorized over (K, D)."""
+    if state.A_xi.shape[2] == 0:
+        return state
+    M = state.delta_xi.shape[1]
+    k1, k2 = jax.random.split(key)
+    a1 = _mh_truncnorm(
+        k1, state.A_xi[:, 0, :], hp.var_epsilon1 / hp.beta1l,
+        lambda a: _lpdf_a1(a, state.delta_xi[:, 0, :], hp))
+    tail = jnp.sum(jnp.log(state.delta_xi[:, 1:, :]), axis=1)  # (K, D)
+    a2 = _mh_truncnorm(
+        k2, state.A_xi[:, 1, :], hp.var_epsilon2 / hp.beta2l,
+        lambda a: _lpdf_a2(a, tail, M - 1.0, hp))
+    return state.replace(A_xi=jnp.stack([a1, a2], axis=1))
+
+
+# ---------------------------------------------------------------------------
+# Sweep compositions — the three phase drivers' scan orders
+# (BFMMM.h:1073-1100 phase 1; :1253-1298 phase 2; :1500-1554 phase 3;
+# CovAdj orders from BFMMM.h:3742-3769, :3952-3999, :4810-4893).
+# ---------------------------------------------------------------------------
+
+def _keys(key, n):
+    return list(jax.random.split(key, n))
+
+
+def sweep_nu_z(key, state, data, hp, c, *, covariate_mean=False, beta=1.0):
+    """Phase-1 sweep: Z, pi, alpha3, nu, tau, sigma [, eta, tau_eta].
+
+    Phi is held at zero in this phase (BFMMM.h:1063), so the likelihood is
+    chi-free by construction.
+    """
+    ks = _keys(key, 8)
+    cache = build_cache(data, state)
+    state, cache = update_z(ks[0], state, data, hp, cache, beta)
+    state = update_pi(ks[1], state, hp, c)
+    state = update_alpha3(ks[2], state, hp)
+    state, cache = update_nu(ks[3], state, data, hp, cache, beta)
+    state = update_tau(ks[4], state, data, hp)
+    state = update_sigma(ks[5], state, data, hp, cache, beta)
+    if covariate_mean:
+        state, cache = update_eta(ks[6], state, data, hp, cache, beta)
+        state = update_tau_eta(ks[7], state, data, hp)
+    return state
+
+
+def sweep_theta(key, state, data, hp, *, covariate_mean=False,
+                covariate_cov=False, beta=1.0):
+    """Phase-2 sweep: Phi tower + chi + sigma with (Z, nu[, eta]) pinned."""
+    ks = _keys(key, 12)
+    cache = build_cache(data, state)
+    state, cache = update_phi(ks[0], state, data, hp, cache, beta)
+    state = update_delta(ks[1], state, hp)
+    state = update_a(ks[2], state, hp)
+    state = update_gamma(ks[3], state, hp)
+    state = update_tau(ks[4], state, data, hp)
+    state = update_sigma(ks[5], state, data, hp, cache, beta)
+    state, cache = update_chi(ks[6], state, data, hp, cache, beta)
+    if covariate_mean:
+        state = update_tau_eta(ks[7], state, data, hp)
+    if covariate_cov:
+        state, cache = update_xi(ks[8], state, data, hp, cache, beta)
+        state = update_delta_xi(ks[9], state, hp)
+        state = update_a_xi(ks[10], state, hp)
+        state = update_gamma_xi(ks[11], state, hp)
+    return state
+
+
+def sweep_full(key, state, data, hp, c, *, covariate_mean=False,
+               covariate_cov=False, beta=1.0):
+    """Phase-3 (production) sweep.
+
+    Plain order (BFMMM.h:1500-1554): Z, pi, alpha3, Phi, delta, A, gamma,
+    nu, tau, sigma, chi.  Mean_CovAdj appends eta, tau_eta, xi, delta_xi,
+    A_xi, gamma_xi (BFMMM.h:4810-4893).  ``beta`` < 1 gives the tempered
+    sweep: only the data-likelihood-touching kernels consume it, matching
+    the reference's choice of which updaters get Tempered variants.
+    """
+    ks = _keys(key, 17)
+    cache = build_cache(data, state)
+    state, cache = update_z(ks[0], state, data, hp, cache, beta)
+    state = update_pi(ks[1], state, hp, c)
+    state = update_alpha3(ks[2], state, hp)
+    state, cache = update_phi(ks[3], state, data, hp, cache, beta)
+    state = update_delta(ks[4], state, hp)
+    state = update_a(ks[5], state, hp)
+    state = update_gamma(ks[6], state, hp)
+    state, cache = update_nu(ks[7], state, data, hp, cache, beta)
+    state = update_tau(ks[8], state, data, hp)
+    state = update_sigma(ks[9], state, data, hp, cache, beta)
+    state, cache = update_chi(ks[10], state, data, hp, cache, beta)
+    if covariate_mean:
+        state, cache = update_eta(ks[11], state, data, hp, cache, beta)
+        state = update_tau_eta(ks[12], state, data, hp)
+    if covariate_cov:
+        state, cache = update_xi(ks[13], state, data, hp, cache, beta)
+        state = update_delta_xi(ks[14], state, hp)
+        state = update_a_xi(ks[15], state, hp)
+        state = update_gamma_xi(ks[16], state, hp)
+    return state

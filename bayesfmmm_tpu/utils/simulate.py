@@ -1,0 +1,102 @@
+"""Model simulators for tests and benchmarks.
+
+Mirrors the reference's recovery-test data generators (src/test-Nu.cpp:9-105
+and friends): fix ground-truth parameters, simulate observations from the
+exact model, and return (data, truth) so conditional updaters can be tested
+for posterior recovery.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bayesfmmm_tpu.models.state import (
+    GibbsState,
+    make_functional_data,
+    make_multivariate_data,
+)
+
+
+def _truth_state(rng, N, K, P, M, D, dtype, *, nu_scale=3.0, phi_scale=0.5,
+                 sigma2=0.01, with_eta=False, with_xi=False):
+    import jax.numpy as jnp
+    nu = nu_scale * rng.normal(size=(K, P))
+    Phi = phi_scale * rng.normal(size=(K, P, M))
+    Z = rng.dirichlet(np.full(K, 1.0), size=N)
+    chi = rng.normal(size=(N, M))
+    pi = np.full(K, 1.0 / K)
+    eta = rng.normal(size=(K, P, D)) if with_eta else np.zeros((K, P, D))
+    xi = (0.5 * rng.normal(size=(K, P, D, M))) if with_xi \
+        else np.zeros((K, P, D, M))
+    return GibbsState(
+        Z=jnp.asarray(Z, dtype), pi=jnp.asarray(pi, dtype),
+        alpha3=jnp.asarray(2.0, dtype),
+        nu=jnp.asarray(nu, dtype), tau=jnp.ones((K,), dtype),
+        sigma2=jnp.asarray(sigma2, dtype),
+        chi=jnp.asarray(chi, dtype), Phi=jnp.asarray(Phi, dtype),
+        gamma=jnp.ones((K, P, M), dtype), delta=jnp.ones((K, M), dtype),
+        A=jnp.ones((K, 2), dtype),
+        eta=jnp.asarray(eta, dtype), tau_eta=jnp.ones((K, D), dtype),
+        xi=jnp.asarray(xi, dtype),
+        gamma_xi=jnp.ones((K, P, D, M), dtype),
+        delta_xi=jnp.ones((K, M, D), dtype),
+        A_xi=jnp.ones((K, 2, D), dtype),
+    )
+
+
+def simulate_functional(seed=1, *, N=40, K=3, P=8, M=2, D=0, n_time=(80, 100),
+                        sigma2=0.01, nu_scale=3.0, phi_scale=0.5,
+                        with_eta=False, with_xi=False, dtype=None):
+    """Simulate functional MM data on [0, 1] with a cubic B-spline basis.
+
+    Returns (data, truth_state).  P = n_internal + degree + 1 determines the
+    internal knot count (degree fixed at 3).
+    """
+    import jax.numpy as jnp
+    dtype = dtype or jnp.float32
+    rng = np.random.default_rng(seed)
+    degree = 3
+    n_internal = P - degree - 1
+    assert n_internal >= 0, "P must be >= 4 for a cubic basis"
+    internal = np.linspace(0, 1, n_internal + 2)[1:-1]
+    boundary = np.array([0.0, 1.0])
+
+    t_list = [np.sort(rng.uniform(0, 1, rng.integers(n_time[0], n_time[1] + 1)))
+              for _ in range(N)]
+    X = rng.normal(size=(N, D)) if D else None
+
+    # Build design to generate data, then rebuild the container with y.
+    data0 = make_functional_data([np.zeros_like(t) for t in t_list], t_list,
+                                 basis_degree=degree, internal_knots=internal,
+                                 boundary_knots=boundary, X=X, dtype=dtype)
+    truth = _truth_state(rng, N, K, P, M, D, dtype, nu_scale=nu_scale,
+                         phi_scale=phi_scale, sigma2=sigma2,
+                         with_eta=with_eta, with_xi=with_xi)
+    from bayesfmmm_tpu.ops.mean import build_cache
+    mu = np.asarray(build_cache(data0, truth).mu)
+    mask = np.asarray(data0.mask)
+    y = mu + np.sqrt(sigma2) * rng.normal(size=mu.shape) * mask
+    y_list = [y[i][mask[i] > 0] for i in range(N)]
+    data = make_functional_data(y_list, t_list, basis_degree=degree,
+                                internal_knots=internal,
+                                boundary_knots=boundary, X=X, dtype=dtype)
+    return data, truth
+
+
+def simulate_multivariate(seed=1, *, N=200, K=2, P=6, M=2, D=0, sigma2=0.01,
+                          nu_scale=3.0, phi_scale=0.5, with_eta=False,
+                          with_xi=False, dtype=None):
+    """Simulate multivariate MM data (identity basis)."""
+    import jax.numpy as jnp
+    dtype = dtype or jnp.float32
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(N, D)) if D else None
+    data0 = make_multivariate_data(np.zeros((N, P)), X=X, dtype=dtype)
+    truth = _truth_state(rng, N, K, P, M, D, dtype, nu_scale=nu_scale,
+                         phi_scale=phi_scale, sigma2=sigma2,
+                         with_eta=with_eta, with_xi=with_xi)
+    from bayesfmmm_tpu.ops.mean import build_cache
+    mu = np.asarray(build_cache(data0, truth).mu)
+    y = mu + np.sqrt(sigma2) * rng.normal(size=mu.shape)
+    data = make_multivariate_data(y, X=X, dtype=dtype)
+    return data, truth
