@@ -1,0 +1,277 @@
+"""User-facing fitting API mirroring the reference pipeline semantics.
+
+Reference L4/L5: UserFunctions.cpp's nine exported fitting functions
+(B{F,HDF,MV}MMM_{Nu_Z_multiple_try, Theta_est, warm_start}, :166, :684,
+:1341, :2519, :3030, :3676, :4579, :4995, :5540) collapse into three
+functions dispatching on the data container's family, with the same
+hyperparameter names/defaults (config.Priors) and validation conditions
+(:198-286).
+
+Key TPU-native semantic upgrade: the reference's ``n_try`` restarts run
+*serially* (:302-325); here all restarts are a vmapped chain batch executed
+in one compiled program (and shardable over the mesh chains axis) — the
+best chain is still selected by mean log-likelihood of the last 100 draws
+(:320-323).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesfmmm_tpu.config import ModelConfig, Priors
+from bayesfmmm_tpu.models.state import (
+    init_state,
+    make_functional_data,
+    make_hd_functional_data,
+    make_multivariate_data,
+)
+from bayesfmmm_tpu.samplers import drivers
+
+__all__ = ["FitResult", "build_data", "fit_nu_z", "fit_theta",
+           "fit_warm_start", "fit"]
+
+
+class FitResult:
+    """Traces + estimates of one fitting phase (best restart chain)."""
+
+    def __init__(self, traces, loglik, final_state, chain_index=0):
+        self.traces = traces
+        self.loglik = loglik
+        self.final_state = final_state
+        self.chain_index = chain_index
+
+    def estimates(self, burnin_prop=0.8):
+        return drivers.posterior_median_state(self.traces, burnin_prop)
+
+
+def build_data(Y, time=None, *, family="functional", basis_degree=3,
+               internal_knots=None, boundary_knots=None, X=None,
+               basis_degrees=None, internal_knots_list=None, dtype=None):
+    """Construct the padded device data container for any model family."""
+    dtype = dtype or jnp.float32
+    if family == "functional":
+        _validate_knots(internal_knots, boundary_knots, basis_degree)
+        return make_functional_data(Y, time, basis_degree=basis_degree,
+                                    internal_knots=internal_knots,
+                                    boundary_knots=boundary_knots, X=X,
+                                    dtype=dtype)
+    if family == "hd":
+        return make_hd_functional_data(Y, time, basis_degrees=basis_degrees,
+                                       internal_knots_list=internal_knots_list,
+                                       boundary_knots=boundary_knots, X=X,
+                                       dtype=dtype)
+    if family == "multivariate":
+        return make_multivariate_data(np.asarray(Y), X=X, dtype=dtype)
+    raise ValueError(f"unknown family {family!r}")
+
+
+def _validate_knots(internal_knots, boundary_knots, basis_degree):
+    """Reference validation (UserFunctions.cpp:221-236)."""
+    if basis_degree < 1:
+        raise ValueError("'basis_degree' must be an integer greater than or "
+                         "equal to 1")
+    bk = np.asarray(boundary_knots, dtype=float)
+    for kn in np.asarray(internal_knots, dtype=float).ravel():
+        if bk[0] >= kn:
+            raise ValueError("at least one element in 'internal_knots' is "
+                             "less than or equal to first boundary knot")
+        if bk[1] <= kn:
+            raise ValueError("at least one element in 'internal_knots' is "
+                             "more than or equal to second boundary knot")
+
+
+def _validate_iters(tot_mcmc_iters):
+    if tot_mcmc_iters < 100:
+        raise ValueError("'tot_mcmc_iters' must be an integer greater than "
+                         "or equal to 100")
+
+
+def _run_restarts(key, data, cfg, hp, c, phase_fn, n_chains, n_iters,
+                  select_window=100):
+    """Vmapped restart batch + best-chain selection
+    (UserFunctions.cpp:302-325)."""
+    keys = jax.random.split(key, n_chains)
+    init_keys = jax.random.split(jax.random.fold_in(key, 999), n_chains)
+    states = jax.vmap(lambda k: init_state(k, cfg, data, c=c))(init_keys)
+
+    def one(k, st):
+        return phase_fn(k, st)
+
+    res = jax.jit(jax.vmap(one))(keys, states)
+    best = int(drivers.best_chain(np.asarray(res.loglik),
+                                  window=min(select_window, n_iters)))
+    traces = {k: np.asarray(v[best]) for k, v in res.traces.items()}
+    final = jax.tree.map(lambda x: x[best], res.final_state)
+    return FitResult(traces, np.asarray(res.loglik[best]), final, best)
+
+
+def fit_nu_z(Y=None, time=None, *, data=None, K, tot_mcmc_iters=1000,
+             n_try=1, X=None, c=None, priors: Priors | None = None,
+             family="functional", basis_degree=3, internal_knots=None,
+             boundary_knots=None, basis_degrees=None,
+             internal_knots_list=None, M=1, seed=0):
+    """Phase 1 — find likely mean/allocation structure (multiple tries).
+
+    Mirrors BFMMM_Nu_Z_multiple_try (UserFunctions.cpp:166) and the MV/HD
+    variants; covariate adjustment activates when X is given.
+    """
+    _validate_iters(tot_mcmc_iters)
+    if K < 2:
+        raise ValueError("'K' must be an integer greater than or equal to 2")
+    hp = (priors or Priors()).validate()
+    if data is None:
+        data = build_data(Y, time, family=family, basis_degree=basis_degree,
+                          internal_knots=internal_knots,
+                          boundary_knots=boundary_knots, X=X,
+                          basis_degrees=basis_degrees,
+                          internal_knots_list=internal_knots_list)
+    cfg = ModelConfig(K=K, P=int(data.P), M=M, D=int(data.D),
+                      family=family,
+                      covariate_mean=data.D > 0, covariate_cov=False)
+    c_vec = jnp.asarray(hp.c_vector(K), dtype=data.y.dtype)
+    covm = data.D > 0
+    key = jax.random.PRNGKey(seed)
+
+    def phase(k, st):
+        return drivers.phase_nu_z(k, st, data, hp, c_vec,
+                                  n_iters=tot_mcmc_iters,
+                                  covariate_mean=covm)
+
+    res = _run_restarts(key, data, cfg, hp, c_vec, phase, n_try + 1,
+                        tot_mcmc_iters)
+    res.data = data
+    res.config = cfg
+    return res
+
+
+def fit_theta(nu_z_result: FitResult, *, tot_mcmc_iters=1000, n_try=1,
+              M=None, covariate_cov=False, priors: Priors | None = None,
+              burnin_prop=0.8, seed=1):
+    """Phase 2 — covariance structure given pinned (Z, nu[, eta]) medians.
+
+    Mirrors BFMMM_Theta_est (UserFunctions.cpp:684): point estimates are
+    per-element posterior medians of the phase-1 chain with Z re-normalized.
+    """
+    _validate_iters(tot_mcmc_iters)
+    hp = (priors or Priors()).validate()
+    data = nu_z_result.data
+    cfg = nu_z_result.config
+    new_M = M if M is not None else cfg.M
+    if new_M != cfg.M or (covariate_cov and cfg.D > 0) != cfg.covariate_cov:
+        cfg = ModelConfig(K=cfg.K, P=cfg.P, M=new_M, D=cfg.D,
+                          family=cfg.family,
+                          covariate_mean=cfg.covariate_mean,
+                          covariate_cov=covariate_cov and cfg.D > 0)
+    est = nu_z_result.estimates(burnin_prop)
+    c_vec = jnp.asarray(hp.c_vector(cfg.K), dtype=data.y.dtype)
+    key = jax.random.PRNGKey(seed)
+    covm, covc = cfg.covariate_mean, covariate_cov and cfg.D > 0
+
+    def phase(k, st):
+        # pin Z, nu (and eta) to the phase-1 medians (BFMMM.h:1244-1250)
+        st = st.replace(Z=est["Z"], nu=est["nu"], eta=est["eta"],
+                        pi=est["pi"], alpha3=est["alpha3"], tau=est["tau"])
+        return drivers.phase_theta(k, st, data, hp, c_vec,
+                                   n_iters=tot_mcmc_iters,
+                                   covariate_mean=covm, covariate_cov=covc)
+
+    res = _run_restarts(key, data, cfg, hp, c_vec, phase, n_try,
+                        tot_mcmc_iters)
+    res.data = data
+    res.config = cfg
+    return res
+
+
+def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
+                   tot_mcmc_iters=2000, thinning_num=1, burnin_prop=0.8,
+                   n_temp_trans=0, beta_N_t=1.0, N_t=1, n_chains=1,
+                   priors: Priors | None = None, directory=None, seed=2):
+    """Phase 3 — production sampler warm-started from phase-1/2 medians.
+
+    Mirrors BFMMM_warm_start (UserFunctions.cpp:1341): per-element posterior
+    medians of both phases seed the chain (:1557-1650); tempered-transition
+    excursions run every n_temp_trans iterations; traces optionally export
+    to `directory` using the reference's file contract.
+    """
+    _validate_iters(tot_mcmc_iters)
+    hp = (priors or Priors()).validate()
+    data = theta_result.data
+    cfg = theta_result.config
+    est1 = nu_z_result.estimates(burnin_prop)
+    est2 = theta_result.estimates(burnin_prop)
+    c_vec = jnp.asarray(hp.c_vector(cfg.K), dtype=data.y.dtype)
+    key = jax.random.PRNGKey(seed)
+
+    def seed_state(st):
+        return st.replace(
+            Z=est1["Z"], pi=est1["pi"], alpha3=est1["alpha3"],
+            nu=est1["nu"], tau=est1["tau"], eta=est1["eta"],
+            tau_eta=est1["tau_eta"],
+            Phi=est2["Phi"], gamma=est2["gamma"], delta=est2["delta"],
+            A=est2["A"], sigma2=est2["sigma2"], chi=est2["chi"],
+            xi=est2["xi"], gamma_xi=est2["gamma_xi"],
+            delta_xi=est2["delta_xi"], A_xi=est2["A_xi"])
+
+    def phase(k, st):
+        return drivers.phase_warm_start(
+            k, seed_state(st), data, hp, c_vec, n_iters=tot_mcmc_iters,
+            thin=thinning_num, n_temp_trans=n_temp_trans,
+            beta_N_t=beta_N_t, N_t=N_t,
+            covariate_mean=cfg.covariate_mean,
+            covariate_cov=cfg.covariate_cov)
+
+    res = _run_restarts(key, data, cfg, hp, c_vec, phase, n_chains,
+                        tot_mcmc_iters // thinning_num)
+    res.data = data
+    res.config = cfg
+    if directory is not None:
+        export_traces(directory, res.traces, cfg)
+    return res
+
+
+def export_traces(directory, traces, cfg, batch=0):
+    """Write traces with the reference file contract (BFMMM.h:1720-1730).
+
+    For the multivariate family the stored Tau is the variance (reciprocal
+    of the internal precision scale; UpdateTau.h:58).
+    """
+    from bayesfmmm_tpu.io import armaio
+    tau = np.asarray(traces["tau"])
+    if cfg.family == "multivariate":
+        tau = 1.0 / tau
+    out = {
+        "Nu": np.asarray(traces["nu"]), "Chi": np.asarray(traces["chi"]),
+        "Pi": np.asarray(traces["pi"]),
+        "alpha_3": np.asarray(traces["alpha3"]),
+        "A": np.asarray(traces["A"]), "Delta": np.asarray(traces["delta"]),
+        "Sigma": np.asarray(traces["sigma2"]), "Tau": tau,
+        "Gamma": np.asarray(traces["gamma"]),
+        "Phi": np.asarray(traces["Phi"]), "Z": np.asarray(traces["Z"]),
+    }
+    if cfg.covariate_mean and cfg.D > 0:
+        out["Eta"] = np.asarray(traces["eta"])
+        tau_eta = np.asarray(traces["tau_eta"])
+        if cfg.family == "multivariate":
+            tau_eta = 1.0 / tau_eta
+        out["Tau_Eta"] = tau_eta
+    if cfg.covariate_cov and cfg.D > 0:
+        out["Xi"] = np.asarray(traces["xi"])
+        out["Gamma_Xi"] = np.asarray(traces["gamma_xi"])
+        out["Delta_Xi"] = np.asarray(traces["delta_xi"])
+        out["A_Xi"] = np.asarray(traces["A_xi"])
+    armaio.save_trace_dir(directory, out, batch=batch)
+
+
+def fit(Y=None, time=None, *, K, M, data=None, X=None, family="functional",
+        nu_z_iters=1000, theta_iters=1000, warm_iters=2000, n_try=1,
+        covariate_cov=False, priors=None, directory=None, seed=0, **kw):
+    """Convenience wrapper running the full 3-phase pipeline."""
+    r1 = fit_nu_z(Y, time, data=data, K=K, M=M, X=X, family=family,
+                  tot_mcmc_iters=nu_z_iters, n_try=n_try, priors=priors,
+                  seed=seed, **kw)
+    r2 = fit_theta(r1, tot_mcmc_iters=theta_iters, n_try=max(n_try, 1),
+                   covariate_cov=covariate_cov, priors=priors, seed=seed + 1)
+    return fit_warm_start(r1, r2, tot_mcmc_iters=warm_iters, priors=priors,
+                          directory=directory, seed=seed + 2)

@@ -1,0 +1,101 @@
+"""Checkpoint/resume determinism + mesh-sharded chain execution."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesfmmm_tpu.config import ModelConfig, Priors
+from bayesfmmm_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from bayesfmmm_tpu.models.state import init_state
+from bayesfmmm_tpu.ops import gibbs
+from bayesfmmm_tpu.parallel import mesh as pmesh
+from bayesfmmm_tpu.utils.simulate import simulate_functional
+
+HP = Priors()
+
+
+def _small():
+    data, _ = simulate_functional(seed=31, N=8, K=2, P=5, M=2,
+                                  n_time=(10, 12))
+    cfg = ModelConfig(K=2, P=5, M=2)
+    return data, cfg
+
+
+def test_checkpoint_exact_resume(tmp_path):
+    """Resume must reproduce the exact trajectory (RNG key included) —
+    capability absent from the reference (SURVEY.md §5)."""
+    data, cfg = _small()
+    c = jnp.full((2,), 10.0)
+    key = jax.random.PRNGKey(3)
+    state = init_state(key, cfg, data)
+
+    # run 5 sweeps, checkpoint, run 5 more
+    st = state
+    k = key
+    for i in range(5):
+        k, ks = jax.random.split(k)
+        st = gibbs.sweep_full(ks, st, data, HP, c)
+    save_checkpoint(str(tmp_path / "ck"), st, k, iteration=5)
+
+    cont = st
+    kc = k
+    for i in range(5):
+        kc, ks = jax.random.split(kc)
+        cont = gibbs.sweep_full(ks, cont, data, HP, c)
+
+    st2, k2, it = load_checkpoint(str(tmp_path / "ck"))
+    assert it == 5
+    resumed = st2
+    kr = k2
+    for i in range(5):
+        kr, ks = jax.random.split(kr)
+        resumed = gibbs.sweep_full(ks, resumed, data, HP, c)
+
+    for a, b in zip(jax.tree.leaves(cont), jax.tree.leaves(resumed)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sharded_chains_match_unsharded():
+    """The (chains, data) mesh execution computes the same draws as
+    unsharded vmap — GSPMD must only change placement, not values."""
+    data, cfg = _small()
+    c = jnp.full((2,), 10.0)
+    n_chains = 4
+    keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
+    states = jax.vmap(lambda k: init_state(k, cfg, data))(keys)
+
+    step = jax.vmap(lambda k, s: gibbs.sweep_full(k, s, data, HP, c))
+    ref = jax.jit(step)(keys, states)
+
+    mesh = pmesh.make_mesh(n_chain_shards=4, n_data_shards=2)
+    sdata = pmesh.shard_data(data, mesh)
+    sstates = pmesh.shard_chain_states(states, mesh)
+    skeys = jax.device_put(keys, pmesh.key_sharding(mesh))
+    sharded = jax.jit(
+        lambda k, s: jax.vmap(
+            lambda kk, ss: gibbs.sweep_full(kk, ss, sdata, HP, c))(k, s)
+    )(skeys, sstates)
+
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_mesh_shapes():
+    m = pmesh.make_mesh()
+    assert m.devices.size == len(jax.devices())
+    m2 = pmesh.make_mesh(n_data_shards=2)
+    assert m2.shape[pmesh.DATA_AXIS] == 2
+
+
+def test_jit_determinism():
+    """Same key + state -> identical draws across two jit executions
+    (SURVEY.md §5 race-detection rebuild note)."""
+    data, cfg = _small()
+    c = jnp.full((2,), 10.0)
+    key = jax.random.PRNGKey(7)
+    state = init_state(key, cfg, data)
+    f = jax.jit(lambda k, s: gibbs.sweep_full(k, s, data, HP, c))
+    out1 = f(key, state)
+    out2 = f(key, state)
+    for a, b in zip(jax.tree.leaves(out1), jax.tree.leaves(out2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
