@@ -38,7 +38,13 @@ from bayesfmmm_tpu.ops.distributions import (
     truncnorm_logpdf,
     truncnorm_sample,
 )
-from bayesfmmm_tpu.ops.mean import SweepCache, build_cache, compute_mu, refresh_mu
+from bayesfmmm_tpu.ops.mean import (
+    SweepCache,
+    build_cache,
+    eigen_directions,
+    feature_offsets,
+    refresh_mu,
+)
 
 _HI = dict(precision="highest")
 
@@ -58,7 +64,8 @@ def _ll_quad(y, mu):
 # ---------------------------------------------------------------------------
 
 def update_z(key, state, data, hp, cache: SweepCache, beta=1.0):
-    C = cache.Bnu + jnp.einsum("nm,nlkm->nlk", state.chi, cache.BPhi, **_HI)
+    T = feature_offsets(state, data.X)                     # (N, K, P)
+    C = jnp.einsum("nlp,nkp->nlk", data.B, T, **_HI)
 
     def row_loglik(Z):
         mu = jnp.einsum("nk,nlk->nl", Z, C, **_HI)
@@ -87,7 +94,7 @@ def update_z(key, state, data, hp, cache: SweepCache, beta=1.0):
     accept = accept | boundary
     Z = jnp.where(accept[:, None], Z_new, state.Z)
     state = state.replace(Z=Z)
-    return state, refresh_mu(cache, Z, state.chi)
+    return state, refresh_mu(cache, data, state)
 
 
 # ---------------------------------------------------------------------------
@@ -157,24 +164,24 @@ def update_nu(key, state, data, hp, cache: SweepCache, beta=1.0):
     K = state.K
 
     def body(j, carry):
-        nu, Bnu0, mu = carry
+        nu, mu = carry
         zj = state.Z[:, j]
-        own = zj[:, None] * jax.lax.dynamic_index_in_dim(Bnu0, j, 2, False)
+        own_core = jnp.einsum("nlp,p->nl", data.B, nu[j], **_HI)
+        own = zj[:, None] * own_core
         r = data.y - mu + own
         s = beta / state.sigma2
         prec = s * jnp.einsum("n,npq->pq", zj * zj, data.G, **_HI) \
             + jnp.take(state.tau, j) * data.pen
         bvec = s * jnp.einsum("n,nl,nlp->p", zj, r, data.B, **_HI)
         nu_j, _ = mvn_from_precision(jax.random.fold_in(key, j), prec, bvec)
-        Bnu0_j = jnp.einsum("nlp,p->nl", data.B, nu_j, **_HI)
-        mu = mu - own + zj[:, None] * Bnu0_j
+        new_core = jnp.einsum("nlp,p->nl", data.B, nu_j, **_HI)
+        mu = mu - own + zj[:, None] * new_core
         nu = nu.at[j].set(nu_j)
-        Bnu0 = jax.lax.dynamic_update_index_in_dim(Bnu0, Bnu0_j, j, 2)
-        return nu, Bnu0, mu
+        return nu, mu
 
-    nu, Bnu0, mu = jax.lax.fori_loop(
-        0, K, body, (state.nu, cache.Bnu0, cache.mu), unroll=True)
-    return state.replace(nu=nu), cache.replace(Bnu0=Bnu0, mu=mu)
+    nu, mu = jax.lax.fori_loop(
+        0, K, body, (state.nu, cache.mu), unroll=True)
+    return state.replace(nu=nu), cache.replace(mu=mu)
 
 
 # ---------------------------------------------------------------------------
@@ -188,7 +195,7 @@ def update_eta(key, state, data, hp, cache: SweepCache, beta=1.0):
         return state, cache
 
     def body(idx, carry):
-        eta, Beta, mu = carry
+        eta, mu = carry
         d = idx // K
         j = idx % K
         zj = state.Z[:, j]
@@ -206,14 +213,11 @@ def update_eta(key, state, data, hp, cache: SweepCache, beta=1.0):
         new_core = jnp.einsum("nlp,p->nl", data.B, new, **_HI)
         mu = mu - own + w[:, None] * new_core
         eta = jax.lax.dynamic_update_slice(eta, new[None, :, None], (j, 0, d))
-        # Beta cache column j aggregates all covariates; apply the delta.
-        delta_col = xd[:, None] * (new_core - own_core)
-        Beta = Beta.at[:, :, j].add(delta_col)
-        return eta, Beta, mu
+        return eta, mu
 
-    eta, Beta, mu = jax.lax.fori_loop(
-        0, D * K, body, (state.eta, cache.Beta, cache.mu), unroll=True)
-    return state.replace(eta=eta), cache.replace(Beta=Beta, mu=mu)
+    eta, mu = jax.lax.fori_loop(
+        0, D * K, body, (state.eta, cache.mu), unroll=True)
+    return state.replace(eta=eta), cache.replace(mu=mu)
 
 
 # ---------------------------------------------------------------------------
@@ -228,13 +232,13 @@ def update_phi(key, state, data, hp, cache: SweepCache, beta=1.0):
     tilde_tau = jnp.cumprod(state.delta, axis=1)  # (K, M)
 
     def body(idx, carry):
-        Phi, BPhi0, mu = carry
+        Phi, mu = carry
         j = idx // M
         m = idx % M
         zj = state.Z[:, j]
         cm = state.chi[:, m]
         w = zj * cm
-        own_core = BPhi0[:, :, j, m]
+        own_core = jnp.einsum("nlp,p->nl", data.B, Phi[j, :, m], **_HI)
         own = w[:, None] * own_core
         r = data.y - mu + own
         s = beta / state.sigma2
@@ -245,12 +249,11 @@ def update_phi(key, state, data, hp, cache: SweepCache, beta=1.0):
         new_core = jnp.einsum("nlp,p->nl", data.B, new, **_HI)
         mu = mu - own + w[:, None] * new_core
         Phi = Phi.at[j, :, m].set(new)
-        BPhi0 = BPhi0.at[:, :, j, m].set(new_core)
-        return Phi, BPhi0, mu
+        return Phi, mu
 
-    Phi, BPhi0, mu = jax.lax.fori_loop(
-        0, K * M, body, (state.Phi, cache.BPhi0, cache.mu), unroll=True)
-    return state.replace(Phi=Phi), cache.replace(BPhi0=BPhi0, mu=mu)
+    Phi, mu = jax.lax.fori_loop(
+        0, K * M, body, (state.Phi, cache.mu), unroll=True)
+    return state.replace(Phi=Phi), cache.replace(mu=mu)
 
 
 # ---------------------------------------------------------------------------
@@ -266,7 +269,7 @@ def update_xi(key, state, data, hp, cache: SweepCache, beta=1.0):
     tilde_tau_xi = jnp.cumprod(state.delta_xi, axis=1)  # (K, M, D)
 
     def body(idx, carry):
-        xi, Bxi, mu = carry
+        xi, mu = carry
         j = idx // (M * D)
         m = (idx // D) % M
         d = idx % D
@@ -283,12 +286,11 @@ def update_xi(key, state, data, hp, cache: SweepCache, beta=1.0):
         new_core = jnp.einsum("nlp,p->nl", data.B, new, **_HI)
         mu = mu - own + w[:, None] * new_core
         xi = xi.at[j, :, d, m].set(new)
-        Bxi = Bxi.at[:, :, j, m].add(data.X[:, d, None] * (new_core - own_core))
-        return xi, Bxi, mu
+        return xi, mu
 
-    xi, Bxi, mu = jax.lax.fori_loop(
-        0, K * M * D, body, (state.xi, cache.Bxi, cache.mu), unroll=True)
-    return state.replace(xi=xi), cache.replace(Bxi=Bxi, mu=mu)
+    xi, mu = jax.lax.fori_loop(
+        0, K * M * D, body, (state.xi, cache.mu), unroll=True)
+    return state.replace(xi=xi), cache.replace(mu=mu)
 
 
 # ---------------------------------------------------------------------------
@@ -299,7 +301,8 @@ def update_xi(key, state, data, hp, cache: SweepCache, beta=1.0):
 
 def update_chi(key, state, data, hp, cache: SweepCache, beta=1.0):
     M = state.M
-    F = jnp.einsum("nk,nlkm->nlm", state.Z, cache.BPhi, **_HI)  # (N, L, M)
+    U = eigen_directions(state, data.X)                      # (N, P, M)
+    F = jnp.einsum("nlp,npm->nlm", data.B, U, **_HI)         # (N, L, M)
 
     def body(m, carry):
         chi, mu = carry

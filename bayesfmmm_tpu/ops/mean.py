@@ -7,17 +7,18 @@ The model mean (README.md:14):
 
 The reference recomputes scalar dot products of this expression inside
 quadruple loops in every updater (e.g. UpdateNu.h:42-63, UpdatePhi.h:44-71).
-The TPU-native design computes four batched design products ONCE per sweep:
 
-    Bnu0 [N,L,K]    = B · nu                 (feature means)
-    Beta [N,L,K]    = B · (eta @ x_i)        (covariate mean shifts)
-    BPhi0[N,L,K,M]  = B · Phi                (pseudo-eigenfunctions)
-    Bxi  [N,L,K,M]  = B · (xi @ x_i)         (covariate eigen shifts)
+TPU-native key identity: the whole bracket collapses to ONE P-vector per
+observation,
 
-and each conditional updater forms its residual by *adding back its own
-term* to the cached total mean — an O(N·L·P) incremental correction instead
-of an O(N·L·K·M·P) recompute.  When D == 0 the eta/xi products are exact
-zeros of zero cost (einsum over an empty axis).
+    w_n = sum_k Z_nk [ nu_k + eta_k x_n + (Phi_k + xi_k x_n) chi_n ],
+
+so  mu = batched-matvec(B, w)  at O(N·K·P·(M + D + M·D)) + O(N·L·P) cost —
+the naive design-product materialization B·Phi of shape (N, L, K, M) costs
+O(N·L·P·K·M) FLOPs and HBM traffic and is never needed.  Each conditional
+updater forms its residual by *adding back its own term* (an O(N·L·P)
+matvec) against the cached total mean.  When D == 0 the eta/xi einsums
+contract over an empty axis and vanish for free.
 """
 
 from __future__ import annotations
@@ -30,40 +31,56 @@ _EINSUM_KW = dict(precision="highest")
 
 @struct.dataclass
 class SweepCache:
-    """Design products + running model mean, maintained through a sweep."""
-    Bnu0: jnp.ndarray   # (N, L, K)      B @ nu_k
-    Beta: jnp.ndarray   # (N, L, K)      B @ (eta_k x_i)
-    BPhi0: jnp.ndarray  # (N, L, K, M)   B @ Phi_km
-    Bxi: jnp.ndarray    # (N, L, K, M)   B @ (xi_km x_i)
-    mu: jnp.ndarray     # (N, L)         current model mean
-
-    @property
-    def Bnu(self):
-        return self.Bnu0 + self.Beta
-
-    @property
-    def BPhi(self):
-        return self.BPhi0 + self.Bxi
+    """Running model mean, maintained incrementally through a sweep."""
+    mu: jnp.ndarray     # (N, L)
 
 
-def compute_mu(Z, chi, Bnu, BPhi):
-    """mu[n,l] = sum_k Z_nk Bnu[n,l,k] + sum_km Z_nk chi_nm BPhi[n,l,k,m]."""
-    mean_nu = jnp.einsum("nk,nlk->nl", Z, Bnu, **_EINSUM_KW)
-    mean_phi = jnp.einsum("nk,nm,nlkm->nl", Z, chi, BPhi, **_EINSUM_KW)
-    return mean_nu + mean_phi
+def effective_coeffs(state, X):
+    """w[n, p] — the per-observation basis coefficients of the model mean."""
+    w = jnp.einsum("nk,kp->np", state.Z, state.nu, **_EINSUM_KW)
+    w = w + jnp.einsum("nk,kpm,nm->np", state.Z, state.Phi, state.chi,
+                       **_EINSUM_KW)
+    if X.shape[1] > 0:
+        w = w + jnp.einsum("nk,kpd,nd->np", state.Z, state.eta, X,
+                           **_EINSUM_KW)
+        w = w + jnp.einsum("nk,kpdm,nd,nm->np", state.Z, state.xi, X,
+                           state.chi, **_EINSUM_KW)
+    return w
+
+
+def compute_mu(data, state):
+    w = effective_coeffs(state, data.X)
+    return jnp.einsum("nlp,np->nl", data.B, w, **_EINSUM_KW)
 
 
 def build_cache(data, state) -> SweepCache:
-    """Recompute all design products fresh (start of each sweep)."""
-    B, X = data.B, data.X
-    Bnu0 = jnp.einsum("nlp,kp->nlk", B, state.nu, **_EINSUM_KW)
-    Beta = jnp.einsum("nlp,kpd,nd->nlk", B, state.eta, X, **_EINSUM_KW)
-    BPhi0 = jnp.einsum("nlp,kpm->nlkm", B, state.Phi, **_EINSUM_KW)
-    Bxi = jnp.einsum("nlp,kpdm,nd->nlkm", B, state.xi, X, **_EINSUM_KW)
-    mu = compute_mu(state.Z, state.chi, Bnu0 + Beta, BPhi0 + Bxi)
-    return SweepCache(Bnu0=Bnu0, Beta=Beta, BPhi0=BPhi0, Bxi=Bxi, mu=mu)
+    return SweepCache(mu=compute_mu(data, state))
 
 
-def refresh_mu(cache: SweepCache, Z, chi) -> SweepCache:
-    """Recompute mu after a Z or chi redraw (design products unchanged)."""
-    return cache.replace(mu=compute_mu(Z, chi, cache.Bnu, cache.BPhi))
+def refresh_mu(cache: SweepCache, data, state) -> SweepCache:
+    """Full recompute after a Z redraw (cheap: one matvec batch)."""
+    return cache.replace(mu=compute_mu(data, state))
+
+
+def feature_offsets(state, X):
+    """T[n, k, p] = nu_k + eta_k x_n + (Phi_k + xi_k x_n) chi_n — the
+    per-feature mean coefficients seen by observation n (Z-independent).
+    Used by the Z updater: mu_n(Z-row) = B_n (sum_k z_k T_nk)."""
+    T = state.nu[None] + jnp.einsum("kpm,nm->nkp", state.Phi, state.chi,
+                                    **_EINSUM_KW)
+    if X.shape[1] > 0:
+        T = T + jnp.einsum("kpd,nd->nkp", state.eta, X, **_EINSUM_KW)
+        T = T + jnp.einsum("kpdm,nd,nm->nkp", state.xi, X, state.chi,
+                           **_EINSUM_KW)
+    return T
+
+
+def eigen_directions(state, X):
+    """U[n, p, m] = sum_k Z_nk (Phi_k + xi_k x_n) — the effective
+    eigen-directions for observation n.  Used by the chi updater
+    (F[n, l, m] = B_n U_n)."""
+    U = jnp.einsum("nk,kpm->npm", state.Z, state.Phi, **_EINSUM_KW)
+    if X.shape[1] > 0:
+        U = U + jnp.einsum("nk,kpdm,nd->npm", state.Z, state.xi, X,
+                           **_EINSUM_KW)
+    return U
