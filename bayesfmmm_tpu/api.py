@@ -94,7 +94,7 @@ def _run_restarts(key, data, cfg, hp, c, phase_fn, n_chains, n_iters,
     (UserFunctions.cpp:302-325)."""
     keys = jax.random.split(key, n_chains)
     init_keys = jax.random.split(jax.random.fold_in(key, 999), n_chains)
-    states = jax.vmap(lambda k: init_state(k, cfg, data, c=c))(init_keys)
+    states = jax.jit(jax.vmap(lambda k: init_state(k, cfg, data, c=c)))(init_keys)
 
     def one(k, st):
         return phase_fn(k, st)

@@ -126,6 +126,12 @@ def bic(traces, data, *, burnin_prop=0.1, X=None, cov_adj=False):
 
 
 def cpo(traces, data, *, burnin_prop=0.1, X=None):
+    """CPO — device-accelerated Woodbury path (post/cpo_fast.py)."""
+    from bayesfmmm_tpu.post.cpo_fast import cpo_fast
+    return cpo_fast(traces, data, burnin_prop=burnin_prop, X=X)
+
+
+def cpo_dense(traces, data, *, burnin_prop=0.1, X=None):
     """Conditional predictive ordinates via the chi-integrated marginal.
 
     CalculateLikelihood.h:344-386: per observation, per draw compute

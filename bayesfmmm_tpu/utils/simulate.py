@@ -17,9 +17,25 @@ from bayesfmmm_tpu.models.state import (
 )
 
 
+def _numpy_mu(data, state):
+    """Host-side model mean (avoids eager dispatch to a remote device)."""
+    B = np.asarray(data.B)
+    X = np.asarray(data.X)
+    Z = np.asarray(state.Z)
+    chi = np.asarray(state.chi)
+    w = np.einsum("nk,kp->np", Z, np.asarray(state.nu))
+    w += np.einsum("nk,kpm,nm->np", Z, np.asarray(state.Phi), chi)
+    if X.shape[1] > 0:
+        w += np.einsum("nk,kpd,nd->np", Z, np.asarray(state.eta), X)
+        w += np.einsum("nk,kpdm,nd,nm->np", Z, np.asarray(state.xi), X, chi)
+    return np.einsum("nlp,np->nl", B, w)
+
+
 def _truth_state(rng, N, K, P, M, D, dtype, *, nu_scale=3.0, phi_scale=0.5,
                  sigma2=0.01, with_eta=False, with_xi=False):
-    import jax.numpy as jnp
+    # Host-side NumPy leaves: no per-array device transfers at build time
+    # (the axon tunnel makes eager dispatch ~seconds/op); jit boundaries
+    # convert on first use.
     nu = nu_scale * rng.normal(size=(K, P))
     Phi = phi_scale * rng.normal(size=(K, P, M))
     Z = rng.dirichlet(np.full(K, 1.0), size=N)
@@ -28,19 +44,16 @@ def _truth_state(rng, N, K, P, M, D, dtype, *, nu_scale=3.0, phi_scale=0.5,
     eta = rng.normal(size=(K, P, D)) if with_eta else np.zeros((K, P, D))
     xi = (0.5 * rng.normal(size=(K, P, D, M))) if with_xi \
         else np.zeros((K, P, D, M))
+    a = lambda x: np.asarray(x, dtype)
     return GibbsState(
-        Z=jnp.asarray(Z, dtype), pi=jnp.asarray(pi, dtype),
-        alpha3=jnp.asarray(2.0, dtype),
-        nu=jnp.asarray(nu, dtype), tau=jnp.ones((K,), dtype),
-        sigma2=jnp.asarray(sigma2, dtype),
-        chi=jnp.asarray(chi, dtype), Phi=jnp.asarray(Phi, dtype),
-        gamma=jnp.ones((K, P, M), dtype), delta=jnp.ones((K, M), dtype),
-        A=jnp.ones((K, 2), dtype),
-        eta=jnp.asarray(eta, dtype), tau_eta=jnp.ones((K, D), dtype),
-        xi=jnp.asarray(xi, dtype),
-        gamma_xi=jnp.ones((K, P, D, M), dtype),
-        delta_xi=jnp.ones((K, M, D), dtype),
-        A_xi=jnp.ones((K, 2, D), dtype),
+        Z=a(Z), pi=a(pi), alpha3=a(2.0), nu=a(nu),
+        tau=np.ones((K,), dtype), sigma2=a(sigma2), chi=a(chi), Phi=a(Phi),
+        gamma=np.ones((K, P, M), dtype), delta=np.ones((K, M), dtype),
+        A=np.ones((K, 2), dtype), eta=a(eta),
+        tau_eta=np.ones((K, D), dtype), xi=a(xi),
+        gamma_xi=np.ones((K, P, D, M), dtype),
+        delta_xi=np.ones((K, M, D), dtype),
+        A_xi=np.ones((K, 2, D), dtype),
     )
 
 
@@ -72,8 +85,7 @@ def simulate_functional(seed=1, *, N=40, K=3, P=8, M=2, D=0, n_time=(80, 100),
     truth = _truth_state(rng, N, K, P, M, D, dtype, nu_scale=nu_scale,
                          phi_scale=phi_scale, sigma2=sigma2,
                          with_eta=with_eta, with_xi=with_xi)
-    from bayesfmmm_tpu.ops.mean import build_cache
-    mu = np.asarray(build_cache(data0, truth).mu)
+    mu = _numpy_mu(data0, truth)   # host-side: no eager device dispatch
     mask = np.asarray(data0.mask)
     y = mu + np.sqrt(sigma2) * rng.normal(size=mu.shape) * mask
     y_list = [y[i][mask[i] > 0] for i in range(N)]
@@ -95,8 +107,7 @@ def simulate_multivariate(seed=1, *, N=200, K=2, P=6, M=2, D=0, sigma2=0.01,
     truth = _truth_state(rng, N, K, P, M, D, dtype, nu_scale=nu_scale,
                          phi_scale=phi_scale, sigma2=sigma2,
                          with_eta=with_eta, with_xi=with_xi)
-    from bayesfmmm_tpu.ops.mean import build_cache
-    mu = np.asarray(build_cache(data0, truth).mu)
+    mu = _numpy_mu(data0, truth)
     y = mu + np.sqrt(sigma2) * rng.normal(size=mu.shape)
     data = make_multivariate_data(y, X=X, dtype=dtype)
     return data, truth

@@ -45,7 +45,7 @@ def main():
 
     key = jax.random.PRNGKey(0)
     chain_keys = jax.random.split(key, N_CHAINS)
-    states = jax.vmap(lambda k: init_state(k, cfg, data))(chain_keys)
+    states = jax.jit(jax.vmap(lambda k: init_state(k, cfg, data)))(chain_keys)
 
     def one_chain(k, st):
         def body(carry, kk):

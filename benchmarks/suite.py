@@ -1,0 +1,175 @@
+"""Benchmark suite over the five BASELINE.json configurations.
+
+Usage:  python benchmarks/suite.py [--configs 1,2,3] [--out results.json]
+
+Each config measures compiled Gibbs-sweep throughput (chains x iters / s)
+on the default backend, plus ESS/s on the nu components, and — where the
+NumPy baseline supports the model (plain functional/MV) — the measured
+single-thread CPU baseline ratio.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+CONFIGS = {
+    1: dict(name="BMVMMM_K2", family="multivariate", K=2, P=10, M=3, N=200,
+            D=0, chains=4, iters=300),
+    2: dict(name="BFMMM_K2_P8_M4_N100", family="functional", K=2, P=8, M=4,
+            N=100, D=0, chains=16, iters=300),
+    3: dict(name="CovAdjMean_eta_D2_K3", family="functional", K=3, P=8, M=3,
+            N=100, D=2, with_eta=True, chains=8, iters=200),
+    4: dict(name="CovAdjCov_xi_fullM", family="functional", K=2, P=8,
+            M=16, N=80, D=1, with_eta=True, with_xi=True, chains=4,
+            iters=150),
+    5: dict(name="BHDFMMM_2D_K4_manychain", family="hd", K=4, P=16, M=4,
+            N=64, D=0, chains=64, iters=100),
+}
+
+
+def build(cfg):
+    import jax.numpy as jnp
+    from bayesfmmm_tpu.utils.simulate import simulate_functional, \
+        simulate_multivariate
+    if cfg["family"] == "multivariate":
+        return simulate_multivariate(seed=7, N=cfg["N"], K=cfg["K"],
+                                     P=cfg["P"], M=cfg["M"], D=cfg["D"])
+    if cfg["family"] == "hd":
+        # 2-D surfaces: reuse functional simulator then swap in tensor data
+        import numpy as np
+        from bayesfmmm_tpu.models.state import make_hd_functional_data
+        from bayesfmmm_tpu.utils.simulate import _truth_state, _numpy_mu
+        rng = np.random.default_rng(7)
+        g = np.linspace(0, 1, 12)
+        pts = np.stack(np.meshgrid(g, g, indexing="ij"), -1).reshape(-1, 2)
+        t_list = [pts for _ in range(cfg["N"])]
+        data0 = make_hd_functional_data(
+            [np.zeros(pts.shape[0]) for _ in range(cfg["N"])], t_list,
+            basis_degrees=[2, 2],
+            internal_knots_list=[np.array([0.5])] * 2,
+            boundary_knots=np.array([[0., 1.], [0., 1.]]))
+        truth = _truth_state(rng, cfg["N"], cfg["K"], data0.P, cfg["M"], 0,
+                             jnp.float32)
+        mu = _numpy_mu(data0, truth)
+        y = mu + 0.1 * rng.normal(size=mu.shape)
+        data = make_hd_functional_data(
+            [y[i] for i in range(cfg["N"])], t_list, basis_degrees=[2, 2],
+            internal_knots_list=[np.array([0.5])] * 2,
+            boundary_knots=np.array([[0., 1.], [0., 1.]]))
+        return data, truth
+    return simulate_functional(
+        seed=7, N=cfg["N"], K=cfg["K"], P=cfg["P"], M=cfg["M"], D=cfg["D"],
+        with_eta=cfg.get("with_eta", False), with_xi=cfg.get("with_xi", False),
+        n_time=(100, 100))
+
+
+def run_config(idx, cfg):
+    import jax
+    import jax.numpy as jnp
+    from bayesfmmm_tpu.config import ModelConfig, Priors
+    from bayesfmmm_tpu.diagnostics import effective_sample_size
+    from bayesfmmm_tpu.models.state import init_state
+    from bayesfmmm_tpu.ops import gibbs
+
+    data, _ = build(cfg)
+    hp = Priors()
+    K = cfg["K"]
+    c = jnp.full((K,), 10.0)
+    mc = ModelConfig(K=K, P=int(data.P), M=cfg["M"], D=int(data.D),
+                     family=cfg["family"],
+                     covariate_mean=cfg.get("with_eta", False),
+                     covariate_cov=cfg.get("with_xi", False))
+    covm = cfg.get("with_eta", False)
+    covc = cfg.get("with_xi", False)
+    n_chains, n_iters = cfg["chains"], cfg["iters"]
+
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, n_chains)
+    states = jax.jit(jax.vmap(lambda k: init_state(k, mc, data)))(keys)
+
+    def one_chain(k, st):
+        def body(carry, kk):
+            s = gibbs.sweep_full(kk, carry, data, hp, c,
+                                 covariate_mean=covm, covariate_cov=covc)
+            return s, s.nu
+        return jax.lax.scan(body, st, jax.random.split(k, n_iters))
+
+    run = jax.jit(jax.vmap(one_chain))
+    t0 = time.time()
+    final, nus = run(keys, states)
+    jax.block_until_ready(nus)
+    compile_s = time.time() - t0
+    keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+    t0 = time.time()
+    final, nus = run(keys2, final)
+    jax.block_until_ready(nus)
+    elapsed = time.time() - t0
+
+    nus = np.asarray(nus)
+    warm = n_iters // 3
+    flat = nus[:, warm:].reshape(n_chains, n_iters - warm, -1)
+    take = np.linspace(0, flat.shape[2] - 1, min(32, flat.shape[2])).astype(int)
+    ess = np.array([effective_sample_size(flat[:, :, j]) for j in take])
+    ess_median = float(np.median(ess))
+
+    out = {
+        "config": cfg["name"],
+        "iters_per_sec": round(n_chains * n_iters / elapsed, 1),
+        "ess_per_sec": round(ess_median / elapsed * n_iters
+                             / (n_iters - warm), 2),
+        "compile_s": round(compile_s - elapsed, 1),
+        "timed_s": round(elapsed, 3),
+        "chains": n_chains,
+    }
+
+    # CPU baseline only for the plain families the NumPy sampler covers
+    if not covm and not covc:
+        from numpy_baseline import NumpyGibbs
+        hp_np = dict(a_Z_PM=hp.a_Z_PM, alpha_nu=hp.alpha_nu,
+                     beta_nu=hp.beta_nu, alpha_0=hp.alpha_0,
+                     beta_0=hp.beta_0, nu_1=hp.nu_1)
+        base = NumpyGibbs(np.asarray(data.y), np.asarray(data.mask),
+                          np.asarray(data.B), np.asarray(data.pen),
+                          K, cfg["M"], hp_np)
+        s = base.init_state()
+        base.sweep(s)
+        n_base = 10
+        t0 = time.time()
+        for _ in range(n_base):
+            base.sweep(s)
+        base_rate = n_base / (time.time() - t0)
+        out["baseline_iters_per_sec"] = round(base_rate, 2)
+        out["speedup_vs_numpy_1thread"] = round(
+            out["iters_per_sec"] / base_rate, 1)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    results = []
+    for idx in [int(x) for x in args.configs.split(",")]:
+        res = run_config(idx, CONFIGS[idx])
+        print(json.dumps(res), flush=True)
+        results.append(res)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -114,6 +114,9 @@ def test_cpo_reasonable(synth):
     vals = model_selection.cpo(sub, data, burnin_prop=0.0)
     assert vals.shape == (20,)
     assert np.isfinite(vals).all()
+    # Woodbury fast path agrees with the dense reference implementation
+    dense = model_selection.cpo_dense(sub, data, burnin_prop=0.0)
+    np.testing.assert_allclose(vals, dense, atol=5e-3)
 
 
 def test_sample_paths(synth):
