@@ -50,6 +50,10 @@ def effective_coeffs(state, X):
 
 def compute_mu(data, state):
     w = effective_coeffs(state, data.X)
+    from bayesfmmm_tpu.ops import pallas_kernels
+    if pallas_kernels.use_pallas():
+        mu, _ = pallas_kernels.fused_mean_rss(data.B, w, data.y)
+        return mu
     return jnp.einsum("nlp,np->nl", data.B, w, **_EINSUM_KW)
 
 
