@@ -48,6 +48,15 @@ from bayesfmmm_tpu.ops.mean import (
 
 _HI = dict(precision="highest")
 
+# Unroll small sequential block loops for XLA fusion; large trip counts
+# (e.g. the xi loop at K*M*D with M=KP) would explode compile time, so they
+# roll (benchmarks/suite.py config 4 compiled in 161s fully unrolled).
+_MAX_UNROLL = 16
+
+
+def _unroll(n):
+    return bool(n <= _MAX_UNROLL)
+
 
 def _ll_quad(y, mu):
     """Masked squared-residual sum (padded entries contribute zero)."""
@@ -180,7 +189,7 @@ def update_nu(key, state, data, hp, cache: SweepCache, beta=1.0):
         return nu, mu
 
     nu, mu = jax.lax.fori_loop(
-        0, K, body, (state.nu, cache.mu), unroll=True)
+        0, K, body, (state.nu, cache.mu), unroll=_unroll(K))
     return state.replace(nu=nu), cache.replace(mu=mu)
 
 
@@ -216,7 +225,7 @@ def update_eta(key, state, data, hp, cache: SweepCache, beta=1.0):
         return eta, mu
 
     eta, mu = jax.lax.fori_loop(
-        0, D * K, body, (state.eta, cache.mu), unroll=True)
+        0, D * K, body, (state.eta, cache.mu), unroll=_unroll(D * K))
     return state.replace(eta=eta), cache.replace(mu=mu)
 
 
@@ -252,7 +261,7 @@ def update_phi(key, state, data, hp, cache: SweepCache, beta=1.0):
         return Phi, mu
 
     Phi, mu = jax.lax.fori_loop(
-        0, K * M, body, (state.Phi, cache.mu), unroll=True)
+        0, K * M, body, (state.Phi, cache.mu), unroll=_unroll(K * M))
     return state.replace(Phi=Phi), cache.replace(mu=mu)
 
 
@@ -289,7 +298,7 @@ def update_xi(key, state, data, hp, cache: SweepCache, beta=1.0):
         return xi, mu
 
     xi, mu = jax.lax.fori_loop(
-        0, K * M * D, body, (state.xi, cache.mu), unroll=True)
+        0, K * M * D, body, (state.xi, cache.mu), unroll=_unroll(K * M * D))
     return state.replace(xi=xi), cache.replace(mu=mu)
 
 
@@ -319,7 +328,8 @@ def update_chi(key, state, data, hp, cache: SweepCache, beta=1.0):
         chi = jax.lax.dynamic_update_index_in_dim(chi, new, m, 1)
         return chi, mu
 
-    chi, mu = jax.lax.fori_loop(0, M, body, (state.chi, cache.mu), unroll=True)
+    chi, mu = jax.lax.fori_loop(0, M, body, (state.chi, cache.mu),
+                                unroll=_unroll(M))
     return state.replace(chi=chi), cache.replace(mu=mu)
 
 
@@ -387,7 +397,7 @@ def update_delta(key, state, hp):
         g = jax.random.gamma(jax.random.fold_in(key, i), shape)
         return delta.at[:, i].set(g / rate)
 
-    delta = jax.lax.fori_loop(0, M, body, state.delta, unroll=True)
+    delta = jax.lax.fori_loop(0, M, body, state.delta, unroll=_unroll(M))
     return state.replace(delta=delta)
 
 
@@ -413,7 +423,8 @@ def update_delta_xi(key, state, hp):
         g = jax.random.gamma(jax.random.fold_in(key, i), shape)
         return delta.at[:, i, :].set(g / rate)
 
-    delta_xi = jax.lax.fori_loop(0, M, body, state.delta_xi, unroll=True)
+    delta_xi = jax.lax.fori_loop(0, M, body, state.delta_xi,
+                                 unroll=_unroll(M))
     return state.replace(delta_xi=delta_xi)
 
 
