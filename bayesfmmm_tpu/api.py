@@ -89,12 +89,34 @@ def _validate_iters(tot_mcmc_iters):
 
 
 def _run_restarts(key, data, cfg, hp, c, phase_fn, n_chains, n_iters,
-                  select_window=100):
+                  select_window=100, init="random"):
     """Vmapped restart batch + best-chain selection
-    (UserFunctions.cpp:302-325)."""
+    (UserFunctions.cpp:302-325).
+
+    init='spectral' seeds every restart from the moment-based archetypal
+    initializer (utils/init_strategies.py) with per-chain jitter — a
+    deterministic replacement for the reference's blind random restarts.
+    """
     keys = jax.random.split(key, n_chains)
     init_keys = jax.random.split(jax.random.fold_in(key, 999), n_chains)
     states = jax.jit(jax.vmap(lambda k: init_state(k, cfg, data, c=c)))(init_keys)
+    if init == "spectral":
+        from bayesfmmm_tpu.utils.init_strategies import spectral_init
+        sp = spectral_init(data, cfg.K, cfg.M)
+        dtype = data.y.dtype
+
+        def seed_chain(st, k):
+            jit_z = 0.02 * jax.random.normal(k, sp["Z"].shape, dtype)
+            Z0 = jnp.clip(jnp.asarray(sp["Z"], dtype) + jit_z, 1e-4, None)
+            Z0 = Z0 / jnp.sum(Z0, axis=1, keepdims=True)
+            return st.replace(
+                Z=Z0,
+                nu=jnp.asarray(sp["nu"], dtype),
+                chi=jnp.asarray(sp["chi"], dtype),
+                Phi=jnp.asarray(sp["Phi"], dtype),
+                sigma2=jnp.asarray(sp["sigma2"], dtype))
+
+        states = jax.jit(jax.vmap(seed_chain))(states, init_keys)
 
     def one(k, st):
         return phase_fn(k, st)
@@ -111,7 +133,7 @@ def fit_nu_z(Y=None, time=None, *, data=None, K, tot_mcmc_iters=1000,
              n_try=1, X=None, c=None, priors: Priors | None = None,
              family="functional", basis_degree=3, internal_knots=None,
              boundary_knots=None, basis_degrees=None,
-             internal_knots_list=None, M=1, seed=0):
+             internal_knots_list=None, M=1, seed=0, init="random"):
     """Phase 1 — find likely mean/allocation structure (multiple tries).
 
     Mirrors BFMMM_Nu_Z_multiple_try (UserFunctions.cpp:166) and the MV/HD
@@ -140,7 +162,7 @@ def fit_nu_z(Y=None, time=None, *, data=None, K, tot_mcmc_iters=1000,
                                   covariate_mean=covm)
 
     res = _run_restarts(key, data, cfg, hp, c_vec, phase, n_try + 1,
-                        tot_mcmc_iters)
+                        tot_mcmc_iters, init=init)
     res.data = data
     res.config = cfg
     return res
@@ -275,3 +297,56 @@ def fit(Y=None, time=None, *, K, M, data=None, X=None, family="functional",
                    covariate_cov=covariate_cov, priors=priors, seed=seed + 1)
     return fit_warm_start(r1, r2, tot_mcmc_iters=warm_iters, priors=priors,
                           directory=directory, seed=seed + 2)
+
+
+def fit_advi_init(data, *, K, M, covariate_cov=False, warm_iters=2000,
+                  advi_steps=600, advi_lr=0.03, n_chains=4, thinning_num=1,
+                  n_temp_trans=0, beta_N_t=1.0, N_t=1,
+                  priors: Priors | None = None, directory=None, seed=0):
+    """ADVI-initialized production sampler — the fast alternative to the
+    3-phase restart pipeline (SURVEY.md §7: ADVI replaces the *role* of the
+    Nu_Z -> Theta warm-start search).
+
+    Runs mean-field ADVI on the whole-model unconstrained log-joint, then
+    launches ``n_chains`` Gibbs chains from variational samples.
+    """
+    from bayesfmmm_tpu.models import logjoint
+    from bayesfmmm_tpu.samplers import advi as advi_mod
+
+    hp = (priors or Priors()).validate()
+    covm = data.D > 0
+    covc = covariate_cov and data.D > 0
+    cfg = ModelConfig(K=K, P=int(data.P), M=M, D=int(data.D),
+                      family="functional" if data.D >= 0 else "functional",
+                      covariate_mean=covm, covariate_cov=covc)
+    c_vec = jnp.asarray(hp.c_vector(K), dtype=data.y.dtype)
+    key = jax.random.PRNGKey(seed)
+    lj = logjoint.make_log_joint(data, hp, c_vec)
+    unc0 = logjoint.init_unc(jax.random.fold_in(key, 0), cfg, data)
+    res = advi_mod.run_advi(jax.random.fold_in(key, 1), lj, unc0,
+                            n_steps=advi_steps, learning_rate=advi_lr)
+    samples = advi_mod.sample_from_advi(jax.random.fold_in(key, 2), res,
+                                        n_samples=n_chains)
+    states = jax.vmap(logjoint.to_state)(samples)
+
+    def phase(k, st):
+        return drivers.phase_warm_start(
+            k, st, data, hp, c_vec, n_iters=warm_iters, thin=thinning_num,
+            n_temp_trans=n_temp_trans, beta_N_t=beta_N_t, N_t=N_t,
+            covariate_mean=covm, covariate_cov=covc)
+
+    keys = jax.random.split(jax.random.fold_in(key, 3), n_chains)
+    out = jax.jit(jax.vmap(phase))(keys, states)
+    best = int(drivers.best_chain(np.asarray(out.loglik),
+                                  window=min(100, warm_iters)))
+    traces = {k: np.asarray(v[best]) for k, v in out.traces.items()}
+    result = FitResult(traces, np.asarray(out.loglik[best]),
+                       jax.tree.map(lambda x: x[best], out.final_state),
+                       best)
+    result.data = data
+    result.config = cfg
+    result.elbo_trace = np.asarray(res.elbo_trace)
+    result.all_chain_loglik = np.asarray(out.loglik)
+    if directory is not None:
+        export_traces(directory, result.traces, cfg)
+    return result

@@ -67,9 +67,6 @@ def trace_profile(logdir: str):
 def assert_finite_state(state, where=""):
     """Host-side NaN/Inf check over a state pytree; raises with field names."""
     bad = []
-    for name, leaf in vars(state).items() if hasattr(state, "__dict__") \
-            else []:
-        pass
     for path, leaf in jax.tree_util.tree_flatten_with_path(state)[0]:
         arr = np.asarray(leaf)
         if arr.size and not np.isfinite(arr).all():

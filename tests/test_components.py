@@ -133,6 +133,8 @@ def test_observability():
     data, truth = simulate_functional(seed=73, N=5, K=2, P=5, M=1,
                                       n_time=(8, 10))
     observability.assert_finite_state(truth)
-    bad = truth.replace(nu=truth.nu.at[0, 0].set(jnp.nan))
+    nu_bad = np.array(truth.nu)
+    nu_bad[0, 0] = np.nan
+    bad = truth.replace(nu=nu_bad)
     with pytest.raises(FloatingPointError):
         observability.assert_finite_state(bad)
