@@ -107,6 +107,27 @@ def load_arma(path: str, prefer_native: bool = True) -> np.ndarray:
     raise ValueError(f"unrecognized Armadillo file {path}")
 
 
+def load_arma_field_info(path: str):
+    """Load a binary field returning (stacked_elements, n_rows, n_cols)."""
+    with open(path, "rb") as f:
+        header = f.readline().decode().strip()
+        if not header.startswith("ARMA_FLD_BIN"):
+            raise ValueError(f"{path} is not a field file")
+        n_rows = int(f.readline().split()[0])
+        second_pos = f.tell()
+        second = f.readline().split()
+        if len(second) == 1 and not second[0].startswith(b"ARMA"):
+            n_cols = int(second[0])
+        else:
+            n_cols = 1
+            f.seek(second_pos)
+        elems = []
+        for _ in range(n_rows * n_cols):
+            eheader = f.readline().decode().strip()
+            elems.append(_read_bin_payload(f, eheader))
+    return np.stack(elems), n_rows, n_cols
+
+
 def _fmt_row(row) -> str:
     return "".join(f" {v: .16e}" for v in row)
 
@@ -143,13 +164,20 @@ def save_arma_cube(path: str, cube: np.ndarray) -> None:
                 f.write(_fmt_row(row) + "\n")
 
 
-def save_arma_field_of_cubes(path: str, cubes: np.ndarray) -> None:
-    """Save (n, slices, rows, cols) as ARMA_FLD_BIN of ARMA_CUB_BIN."""
+def save_arma_field_of_cubes(path: str, cubes: np.ndarray,
+                             n_cols: int = 1) -> None:
+    """Save cubes as ARMA_FLD_BIN of ARMA_CUB_BIN.
+
+    cubes: (n_elem, slices, rows, cols) in Armadillo element order
+    (column-major over the field when n_cols > 1, i.e. all of field column
+    0 first).
+    """
     cubes = np.asarray(cubes, dtype=np.float64)
     assert cubes.ndim == 4
+    n_rows = cubes.shape[0] // n_cols
     with open(path, "wb") as f:
         f.write(b"ARMA_FLD_BIN\n")
-        f.write(f"{cubes.shape[0]}\n1\n".encode())
+        f.write(f"{n_rows}\n{n_cols}\n".encode())
         for cube in cubes:
             s, r, c = cube.shape
             f.write(b"ARMA_CUB_BIN_FN008\n")
@@ -164,7 +192,8 @@ def save_arma_field_of_cubes(path: str, cubes: np.ndarray) -> None:
 # ---------------------------------------------------------------------------
 
 _PLAIN_FILES = {
-    # name: (kind, to_disk transform)  — internal shapes given in comments
+    # name: kind — internal shapes given in comments; disk layouts follow
+    # the reference trace contract (BFMMM.h:1720-1730, :4522-4523, :5163-5166)
     "Nu": "cube_iter_last",      # (iters, K, P)   -> cube (K, P, iters)
     "Chi": "cube_iter_last",     # (iters, N, M)   -> cube (N, M, iters)
     "Pi": "mat_iter_cols",       # (iters, K)      -> mat  (K, iters)
@@ -173,9 +202,16 @@ _PLAIN_FILES = {
     "Delta": "cube_iter_last",   # (iters, K, M)
     "Sigma": "vec",              # (iters,)
     "Tau": "mat",                # (iters, K)      -> mat (iters, K)
-    "Gamma": "field_cubes",      # (iters, K, P, M)
+    "Gamma": "field_cubes",      # (iters, K, P, M) -> [iters](K,P,M) cubes
     "Phi": "field_cubes",        # (iters, K, P, M)
     "Z": "cube_iter_last",       # (iters, N, K)
+    # Covariate-adjusted additions
+    "Eta": "field_eta",          # (iters, K, P, D) -> [iters](P,D,K) cubes
+    "Tau_Eta": "cube_iter_last",  # (iters, K, D)   -> cube (K, D, iters)
+    "Xi": "field2d_xi",          # (iters, K, P, D, M) -> [iters,K](P,D,M)
+    "Gamma_Xi": "field2d_xi",    # (iters, K, P, D, M)
+    "Delta_Xi": "field_dkm",     # (iters, K, M, D) -> [iters](K,M,D) cubes
+    "A_Xi": "field_dkm",         # (iters, K, 2, D) -> [iters](K,2,D) cubes
 }
 
 
@@ -204,6 +240,22 @@ def save_trace_dir(directory: str, traces: dict, batch: int = 0) -> None:
             # internal (iters, K, P, M) -> per-iter arma cube (K rows, P cols,
             # M slices); our cube writer takes slices-first.
             save_arma_field_of_cubes(path, arr.transpose(0, 3, 1, 2))
+        elif kind == "field_eta":
+            # internal (iters, K, P, D): per-iter cube (P, D, K) — element
+            # slices-first layout is already (K, P, D).
+            save_arma_field_of_cubes(path, arr)
+        elif kind == "field_dkm":
+            # internal (iters, K, X, D): per-iter cube (K, X, D) — element
+            # slices-first (D, K, X).
+            save_arma_field_of_cubes(path, arr.transpose(0, 3, 1, 2))
+        elif kind == "field2d_xi":
+            # internal (iters, K, P, D, M): 2D field [iters rows, K cols] of
+            # (P, D, M) cubes; Armadillo element order is field-column-major
+            # (all iters of k=0 first), element layout slices-first (M, P, D).
+            it, K = arr.shape[0], arr.shape[1]
+            elems = arr.transpose(1, 0, 4, 2, 3).reshape(
+                K * it, arr.shape[4], arr.shape[2], arr.shape[3])
+            save_arma_field_of_cubes(path, elems, n_cols=K)
         else:
             raise ValueError(f"cannot infer format for {name} ndim={arr.ndim}")
 
@@ -235,10 +287,18 @@ def load_trace_dir(directory: str, names=None, n_files: int | None = None) -> di
         names = sorted(stems)
     out = {}
     for name in names:
+        kind0 = _PLAIN_FILES.get(name)
         batches = []
         q = 0
         while os.path.exists(os.path.join(directory, f"{name}{q}.txt")):
-            arr = load_arma(os.path.join(directory, f"{name}{q}.txt"))
+            fp = os.path.join(directory, f"{name}{q}.txt")
+            if kind0 == "field2d_xi":
+                arr, n_r, n_c = load_arma_field_info(fp)
+                # disk flat (K*iters, M, P, D) field-column-major ->
+                # internal (iters, K, P, D, M)
+                arr = arr.reshape(n_c, n_r, *arr.shape[1:])                          .transpose(1, 0, 3, 4, 2)
+            else:
+                arr = load_arma(fp)
             batches.append(arr)
             q += 1
             if n_files is not None and q >= n_files:
@@ -254,5 +314,12 @@ def load_trace_dir(directory: str, names=None, n_files: int | None = None) -> di
             # disk elements are slices-first (M, K, P); internal is
             # (iters, K, P, M)
             batches = [b.transpose(0, 2, 3, 1) for b in batches]
+        elif kind == "field_eta":
+            pass  # (iters, K, P, D) both on disk (slices-first) and internal
+        elif kind == "field_dkm":
+            # disk (iters, D, K, X) -> internal (iters, K, X, D)
+            batches = [b.transpose(0, 2, 3, 1) for b in batches]
+        elif kind == "field2d_xi":
+            pass  # already converted at load time via load_arma_field_info
         out[name] = np.concatenate(batches, axis=0)
     return out

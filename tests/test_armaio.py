@@ -78,3 +78,37 @@ def test_ascii_cube_matches_reference_convention(tmp_path):
     assert txt[1] == "3 2 4"
     back = armaio.load_arma(str(p))
     np.testing.assert_array_equal(back, cube)
+
+
+def test_covadj_trace_roundtrip(tmp_path):
+    """Eta/Xi/Delta_Xi/A_Xi follow the reference's field layouts
+    (BFMMM.h:4522-4523, :5163-5166)."""
+    rng = np.random.default_rng(0)
+    it, K, P, D, M = 7, 2, 5, 3, 4
+    traces = {
+        "Eta": rng.normal(size=(it, K, P, D)),
+        "Tau_Eta": rng.gamma(2, size=(it, K, D)),
+        "Xi": rng.normal(size=(it, K, P, D, M)),
+        "Gamma_Xi": rng.gamma(2, size=(it, K, P, D, M)),
+        "Delta_Xi": rng.gamma(2, size=(it, K, M, D)),
+        "A_Xi": rng.gamma(2, size=(it, K, 2, D)),
+    }
+    armaio.save_trace_dir(str(tmp_path), traces)
+    back = armaio.load_trace_dir(str(tmp_path))
+    for k, v in traces.items():
+        np.testing.assert_allclose(back[k], v, atol=1e-12, err_msg=k)
+
+
+def test_covadj_reference_fixtures_load():
+    _need_fixtures()
+    ref = armaio.load_trace_dir(
+        TRACE, names=["Eta", "Xi", "Delta_Xi", "A_Xi", "Tau_Eta",
+                      "Gamma_Xi"])
+    # fixture model: K=2, P=7, D=1, M=3, 150 draws
+    assert ref["Eta"].shape == (150, 2, 7, 1)
+    assert ref["Xi"].shape == (150, 2, 7, 1, 3)
+    assert ref["Delta_Xi"].shape == (150, 2, 3, 1)
+    assert ref["A_Xi"].shape == (150, 2, 2, 1)
+    assert ref["Tau_Eta"].shape == (150, 2, 1)
+    for v in ref.values():
+        assert np.isfinite(v).all()
