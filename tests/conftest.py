@@ -19,6 +19,13 @@ import jax
 # update below wins regardless, keeping unit tests on the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite compiles ~60 XLA programs; cached
+# reruns skip nearly all of that.
+_cache_dir = os.path.expanduser("~/.cache/jax_comp_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 

@@ -118,3 +118,65 @@ def test_loglik_at_least_reference_level(ref_setup, our_fit):
     ll_our = np.asarray(our_fit.loglik)[-200:]
     assert ll_our.mean() > ll_ref.mean() - 3 * (ll_ref.std() + 1.0), (
         ll_our.mean(), ll_ref.mean())
+
+
+def test_reference_api_model_selection_on_fixture_traces():
+    """FDIC/FAIC/FBIC/FLLik/CPO over the reference's shipped traces and its
+    own dataset — the full model-selection workflow end to end."""
+    from bayesfmmm_tpu import reference_api as R
+    d = os.path.join(REF, "Functional_trace") + "/"
+    if not os.path.isdir(d):
+        pytest.skip("fixtures not mounted")
+    Y = read_rds(os.path.join(REF, "Sim_data.RDS"))
+    T = read_rds(os.path.join(REF, "time.RDS"))
+    args = (d, 1, 3, [0, 1000], [250., 500., 750.], T, Y)
+    dic = R.FDIC(*args)
+    aic = R.FAIC(*args)
+    bic = R.FBIC(*args)
+    ll = R.FLLik(d, 1, 3, [0, 1000], [250., 500., 750.], T, Y)
+    assert np.isfinite([dic, aic, bic]).all()
+    assert ll.shape == (150,)
+    # loglik trace around the fixture's stationary level (~4600)
+    assert 3000 < ll[-50:].mean() < 6000
+    cpo = R.ConditionalPredictiveOrdinates(
+        d, 1, 3, [0, 1000], [250., 500., 750.], T, Y, burnin_prop=0.5)
+    assert cpo.shape == (40,)
+    assert np.isfinite(cpo).all()
+
+
+def test_mv_fixture_postprocessing():
+    from bayesfmmm_tpu import reference_api as R
+    d = os.path.join(REF, "Multivariate_trace") + "/"
+    if not os.path.isdir(d):
+        pytest.skip("fixtures not mounted")
+    Y = read_rds(os.path.join(REF, "MVSim_data.RDS"))
+    ci = R.MVMeanCI(d, 1, k=1)
+    assert ci["CI_50"].shape == (10,)
+    cov = R.MVCovCI(d, 1, k=1, l=2)
+    assert cov["CI_50"].shape == (10, 10)
+    ll = R.MVLLik(d, 1, Y)
+    assert ll.shape == (150,) and np.isfinite(ll).all()
+    dic = R.MVDIC(d, 1, Y)
+    aic = R.MVAIC(d, 1, Y)
+    bic = R.MVBIC(d, 1, Y)
+    assert np.isfinite([dic, aic, bic]).all()
+
+
+def test_hd_fixture_postprocessing():
+    from bayesfmmm_tpu import reference_api as R
+    d = os.path.join(REF, "HDFunctional_trace") + "/"
+    if not os.path.isdir(d):
+        pytest.skip("fixtures not mounted")
+    T = read_rds(os.path.join(REF, "HDtime.RDS"))
+    # HD fixture basis (PostProcessing.cpp roxygen): degree (2,2),
+    # internal (250,500,750) per dim, boundary (0,990)
+    pts = np.asarray(T[0])[:40]
+    ci = R.HDFMeanCI(d, 1, pts, [2, 2],
+                     np.array([[0., 990.], [0., 990.]]),
+                     [np.array([250., 500., 750.])] * 2, k=1)
+    assert ci["CI_50"].shape == (40,)
+    assert np.isfinite(ci["CI_50"]).all()
+    cov = R.HDFCovCI(d, 1, pts[:15], pts[:15], [2, 2],
+                     np.array([[0., 990.], [0., 990.]]),
+                     [np.array([250., 500., 750.])] * 2, k=1, l=1)
+    assert cov["CI_50"].shape == (15, 15)
