@@ -26,6 +26,12 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    import os as _os
+    _cache = _os.path.expanduser("~/.cache/jax_comp_cache")
+    _os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
     from bayesfmmm_tpu.config import ModelConfig, Priors
     from bayesfmmm_tpu.diagnostics import effective_sample_size
