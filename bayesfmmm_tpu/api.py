@@ -209,7 +209,8 @@ def fit_theta(nu_z_result: FitResult, *, tot_mcmc_iters=1000, n_try=1,
 def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
                    tot_mcmc_iters=2000, thinning_num=1, burnin_prop=0.8,
                    n_temp_trans=0, beta_N_t=1.0, N_t=1, n_chains=1,
-                   priors: Priors | None = None, directory=None, seed=2):
+                   priors: Priors | None = None, directory=None,
+                   r_stored_iters=None, seed=2):
     """Phase 3 — production sampler warm-started from phase-1/2 medians.
 
     Mirrors BFMMM_warm_start (UserFunctions.cpp:1341): per-element posterior
@@ -235,6 +236,33 @@ def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
             A=est2["A"], sigma2=est2["sigma2"], chi=est2["chi"],
             xi=est2["xi"], gamma_xi=est2["gamma_xi"],
             delta_xi=est2["delta_xi"], A_xi=est2["A_xi"])
+
+    if r_stored_iters is not None and directory is not None:
+        # reference batch/ring persistence path (BFMMM.h:205-271) with the
+        # async native writer overlapping IO and compute
+        from bayesfmmm_tpu.samplers.batched import run_batched
+        st0 = seed_state(init_state(jax.random.fold_in(key, 999), cfg, data))
+        final, ll, nb = run_batched(
+            key, st0, data, hp, c_vec, directory=directory,
+            tot_mcmc_iters=tot_mcmc_iters, r_stored_iters=r_stored_iters,
+            thinning_num=thinning_num, n_temp_trans=n_temp_trans,
+            beta_N_t=beta_N_t, N_t=N_t,
+            covariate_mean=cfg.covariate_mean,
+            covariate_cov=cfg.covariate_cov, family=cfg.family)
+        from bayesfmmm_tpu.io import armaio
+        disk = armaio.load_trace_dir(directory)
+        name_map = {"Nu": "nu", "Chi": "chi", "Pi": "pi",
+                    "alpha_3": "alpha3", "A": "A", "Delta": "delta",
+                    "Sigma": "sigma2", "Tau": "tau", "Gamma": "gamma",
+                    "Phi": "Phi", "Z": "Z", "Eta": "eta",
+                    "Tau_Eta": "tau_eta", "Xi": "xi",
+                    "Gamma_Xi": "gamma_xi", "Delta_Xi": "delta_xi",
+                    "A_Xi": "A_xi"}
+        traces = {name_map[k]: v for k, v in disk.items() if k in name_map}
+        res = FitResult(traces, ll, final)
+        res.data = data
+        res.config = cfg
+        return res
 
     def phase(k, st):
         return drivers.phase_warm_start(

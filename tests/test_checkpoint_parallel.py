@@ -99,3 +99,25 @@ def test_jit_determinism():
     out2 = f(key, state)
     for a, b in zip(jax.tree.leaves(out1), jax.tree.leaves(out2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batched_run_with_async_persistence(tmp_path):
+    """Reference ring-buffer semantics (BFMMM.h:205-271): batches of
+    r_stored_iters, thinned, saved as Param{q}.txt, with mid-run
+    checkpoints; multi-batch reload concatenates along iterations."""
+    from bayesfmmm_tpu.samplers.batched import run_batched
+    from bayesfmmm_tpu.io import armaio
+    from bayesfmmm_tpu.io.checkpoint import load_checkpoint
+    data, cfg = _small()
+    c = jnp.full((2,), 10.0)
+    state = init_state(jax.random.PRNGKey(5), cfg, data)
+    final, ll, nb = run_batched(
+        jax.random.PRNGKey(6), state, data, HP, c, directory=str(tmp_path),
+        tot_mcmc_iters=200, r_stored_iters=100, thinning_num=2,
+        checkpoint_every=1)
+    assert nb == 2
+    back = armaio.load_trace_dir(str(tmp_path))
+    assert back["Nu"].shape[0] == 100      # 2 batches x 50 thinned draws
+    assert np.isfinite(back["Sigma"]).all()
+    st, k, it = load_checkpoint(str(tmp_path / "checkpoint"))
+    assert it == 200
