@@ -8,6 +8,11 @@ functional MM, K=3 P=8").  The baseline denominator is *measured* each run
 (BASELINE.md: the reference publishes no numbers): the same sweep in
 vectorized single-thread NumPy (benchmarks/numpy_baseline.py), which is a
 stronger baseline than the reference's scalar-loop Rcpp sampler.
+
+ESS is computed per chain on *identifiable* quantities (fitted mean curves
+at probe points + log-likelihood) and summed over chains — pooling raw
+feature parameters across chains sitting in different label modes would
+understate ESS; identifiable functionals are label-invariant.
 """
 
 from __future__ import annotations
@@ -26,17 +31,17 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    import os as _os
-    _cache = _os.path.expanduser("~/.cache/jax_comp_cache")
-    _os.makedirs(_cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    cache = os.path.expanduser("~/.cache/jax_comp_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from bayesfmmm_tpu.config import ModelConfig, Priors
     from bayesfmmm_tpu.diagnostics import effective_sample_size
+    from bayesfmmm_tpu.models.likelihood import log_likelihood
     from bayesfmmm_tpu.ops import gibbs
-    from bayesfmmm_tpu.samplers import drivers
+    from bayesfmmm_tpu.ops.mean import compute_mu
     from bayesfmmm_tpu.models.state import init_state
     from bayesfmmm_tpu.utils.simulate import simulate_functional
 
@@ -53,10 +58,17 @@ def main():
     chain_keys = jax.random.split(key, N_CHAINS)
     states = jax.jit(jax.vmap(lambda k: init_state(k, cfg, data)))(chain_keys)
 
+    # identifiable probes: fitted values for 8 observations at 4 time points
+    probe_obs = jnp.arange(0, N, N // 8)[:8]
+    probe_t = jnp.arange(0, data.L, data.L // 4)[:4]
+
     def one_chain(k, st):
         def body(carry, kk):
             st = gibbs.sweep_full(kk, carry, data, hp, c)
-            return st, st.nu
+            mu = compute_mu(data, st)
+            probes = mu[probe_obs][:, probe_t].ravel()
+            ll = log_likelihood(st, data)
+            return st, jnp.concatenate([probes, ll[None]])
         keys = jax.random.split(k, N_ITERS)
         return jax.lax.scan(body, st, keys)
 
@@ -64,25 +76,29 @@ def main():
 
     # compile
     t0 = time.time()
-    final, nus = run(chain_keys, states)
-    jax.block_until_ready(nus)
+    final, out = run(chain_keys, states)
+    jax.block_until_ready(out)
     compile_and_run = time.time() - t0
 
     # timed run
     chain_keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 1))(chain_keys)
     t0 = time.time()
-    final, nus = run(chain_keys2, final)
-    jax.block_until_ready(nus)
+    final, out = run(chain_keys2, final)
+    jax.block_until_ready(out)
     elapsed = time.time() - t0
 
-    # ESS across nu components (pooled over chains), discard first third
-    nus = np.asarray(nus)                      # (chains, iters, K, P)
+    out = np.asarray(out)                      # (chains, iters, n_q)
     warm = N_ITERS // 3
-    flat = nus[:, warm:].reshape(N_CHAINS, N_ITERS - warm, K * P)
-    ess = np.array([effective_sample_size(flat[:, :, j])
-                    for j in range(K * P)])
-    ess_median = float(np.median(ess))
-    tpu_ess_per_sec = ess_median / elapsed * (N_ITERS / (N_ITERS - warm))
+    tail = out[:, warm:]
+    n_q = tail.shape[2]
+    # per-chain ESS per quantity, median over quantities, summed over chains
+    ess_chain = np.zeros(N_CHAINS)
+    for ci in range(N_CHAINS):
+        vals = [effective_sample_size(tail[ci, :, j][None, :])
+                for j in range(n_q)]
+        ess_chain[ci] = float(np.median(vals))
+    ess_total = float(ess_chain.sum())
+    tpu_ess_per_sec = ess_total / elapsed * (N_ITERS / (N_ITERS - warm))
     tpu_iters_per_sec = N_CHAINS * N_ITERS / elapsed
 
     # ---- CPU single-thread baseline (measured) ----
@@ -101,10 +117,9 @@ def main():
         base.sweep(s)
     base_elapsed = time.time() - t0
     base_iters_per_sec = n_base / base_elapsed
-    # identical algorithm => same ESS/iteration; scale by iteration rate
-    ess_per_iter = ess_median / (N_CHAINS * (N_ITERS - warm))
-    base_ess_per_sec = ess_per_iter * base_iters_per_sec * \
-        (1.0)  # single chain
+    # identical algorithm => same ESS/iteration; one baseline chain
+    ess_per_iter_chain = float(np.mean(ess_chain)) / (N_ITERS - warm)
+    base_ess_per_sec = ess_per_iter_chain * base_iters_per_sec
 
     result = {
         "metric": "ess_per_sec_functional_K3_P8_N100_16chains",
@@ -115,7 +130,8 @@ def main():
             "backend": jax.default_backend(),
             "tpu_iters_per_sec": round(tpu_iters_per_sec, 1),
             "baseline_iters_per_sec": round(base_iters_per_sec, 2),
-            "ess_median_pooled": round(ess_median, 1),
+            "ess_total_identifiable": round(ess_total, 1),
+            "ess_per_chain_mean": round(float(np.mean(ess_chain)), 2),
             "compile_s": round(compile_and_run - elapsed, 1),
             "timed_s": round(elapsed, 2),
         },
