@@ -327,6 +327,79 @@ def fit(Y=None, time=None, *, K, M, data=None, X=None, family="functional",
                           directory=directory, seed=seed + 2)
 
 
+def fit_hmc(data, *, K, M, covariate_cov=False, n_warmup=500, n_samples=500,
+            n_chains=4, n_leapfrog=24, init="spectral",
+            priors: Priors | None = None, seed=0):
+    """Whole-model HMC on the unconstrained log-joint — the gradient-based
+    production path (SURVEY.md §7 primary path; models/logjoint.py +
+    samplers/hmc.py).
+
+    init: 'spectral' (archetypal warm start mapped through from_state),
+    'random', or a GibbsState to start all chains from (with jitter).
+    Returns a FitResult whose traces are the pooled post-warmup draws of
+    the best chain (by mean log-likelihood), in natural parameterization —
+    drop-in compatible with the post-processing layer.
+    """
+    from bayesfmmm_tpu.models import logjoint
+    from bayesfmmm_tpu.models.likelihood import log_likelihood
+    from bayesfmmm_tpu.samplers import hmc as hmc_mod
+
+    hp = (priors or Priors()).validate()
+    covm = data.D > 0
+    covc = covariate_cov and data.D > 0
+    cfg = ModelConfig(K=K, P=int(data.P), M=M, D=int(data.D),
+                      family="functional", covariate_mean=covm,
+                      covariate_cov=covc)
+    c_vec = jnp.asarray(hp.c_vector(K), dtype=data.y.dtype)
+    key = jax.random.PRNGKey(seed)
+    lj = logjoint.make_log_joint(data, hp, c_vec)
+
+    init_keys = jax.random.split(jax.random.fold_in(key, 0), n_chains)
+    uncs = jax.vmap(lambda k: logjoint.init_unc(k, cfg, data))(init_keys)
+    if init == "spectral":
+        from bayesfmmm_tpu.utils.init_strategies import spectral_init
+        sp = spectral_init(data, K, M)
+        base = init_state(jax.random.fold_in(key, 1), cfg, data)
+        dtype = data.y.dtype
+        base = base.replace(
+            Z=jnp.clip(jnp.asarray(sp["Z"], dtype), 1e-4, 1 - 1e-4),
+            nu=jnp.asarray(sp["nu"], dtype),
+            chi=jnp.asarray(sp["chi"], dtype),
+            Phi=jnp.asarray(sp["Phi"], dtype) + 1e-3,
+            sigma2=jnp.asarray(sp["sigma2"], dtype))
+        unc0 = logjoint.from_state(base)
+        jitters = jax.vmap(
+            lambda k: jax.tree.map(
+                lambda x: 0.01 * jax.random.normal(k, x.shape, x.dtype),
+                unc0))(init_keys)
+        uncs = jax.tree.map(lambda u, j: u[None] + j, unc0, jitters)
+    elif isinstance(init, object) and hasattr(init, "Z"):
+        unc0 = logjoint.from_state(init)
+        uncs = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), unc0)
+
+    trace, diag = hmc_mod.run_hmc(
+        jax.random.fold_in(key, 2), lj, uncs, n_warmup=n_warmup,
+        n_samples=n_samples, n_leapfrog=n_leapfrog)
+    states = jax.vmap(jax.vmap(logjoint.to_state))(trace)
+
+    ll = jax.jit(jax.vmap(jax.vmap(
+        lambda s: log_likelihood(s, data))))(states)
+    ll = np.asarray(ll)                       # (chains, samples)
+    best = int(np.argmax(ll[:, -min(100, n_samples):].mean(axis=1)))
+    traces = {f: np.asarray(getattr(states, f)[best])
+              for f in ("Z", "pi", "alpha3", "nu", "tau", "sigma2", "chi",
+                        "Phi", "gamma", "delta", "A", "eta", "tau_eta",
+                        "xi", "gamma_xi", "delta_xi", "A_xi")}
+    res = FitResult(traces, ll[best],
+                    jax.tree.map(lambda x: x[best, -1], states), best)
+    res.data = data
+    res.config = cfg
+    res.hmc_diagnostics = {k: np.asarray(v) for k, v in diag.items()}
+    res.all_chain_loglik = ll
+    return res
+
+
 def fit_advi_init(data, *, K, M, covariate_cov=False, warm_iters=2000,
                   advi_steps=600, advi_lr=0.03, n_chains=4, thinning_num=1,
                   n_temp_trans=0, beta_N_t=1.0, N_t=1,

@@ -90,3 +90,25 @@ def test_covadj_log_joint(setup):
     g = jax.grad(lj)(unc)
     assert np.isfinite(np.asarray(g.xi_raw)).all()
     assert np.isfinite(np.asarray(g.eta)).all()
+
+
+def test_fit_hmc_api():
+    """fit_hmc: spectral-initialized whole-model HMC through the user API,
+    drop-in compatible with the post-processing layer."""
+    from bayesfmmm_tpu import api
+    from bayesfmmm_tpu.post import summaries
+    data, truth = simulate_functional(seed=91, N=24, K=2, P=6, M=2,
+                                      n_time=(25, 30))
+    res = api.fit_hmc(data, K=2, M=2, n_warmup=150, n_samples=100,
+                      n_chains=2, n_leapfrog=12)
+    acc = res.hmc_diagnostics["accept_mean"]
+    assert (acc > 0.4).all()
+    from bayesfmmm_tpu.models.likelihood import log_likelihood
+    truth_ll = float(log_likelihood(truth, data))
+    best_tail = res.all_chain_loglik[res.chain_index, -20:].mean()
+    # spectral-init HMC must land near truth-level likelihood
+    assert best_tail > truth_ll - 150, (best_tail, truth_ll)
+    est = res.estimates(burnin_prop=0.3)
+    assert float(est["sigma2"]) < 10 * float(truth.sigma2)
+    ci = summaries.z_ci(res.traces["Z"], burnin_prop=0.3)
+    assert ci["CI_50"].shape == (24, 2)
