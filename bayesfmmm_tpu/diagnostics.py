@@ -10,7 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["effective_sample_size", "split_rhat", "summarize_chains"]
+__all__ = ["effective_sample_size", "split_rhat", "rank_normalize",
+           "rank_normalized_ess", "rank_normalized_rhat", "summarize_chains"]
 
 
 def _autocov(x):
@@ -75,6 +76,31 @@ def split_rhat(draws: np.ndarray) -> float:
     if W == 0:
         return 1.0
     return float(np.sqrt(var_plus / W))
+
+
+def rank_normalize(draws: np.ndarray) -> np.ndarray:
+    """Rank-normalize pooled draws (Vehtari et al. 2021): replace values by
+    normal quantiles of their fractional ranks, making ESS/R-hat robust to
+    heavy tails and nonlinear scale."""
+    from scipy.special import ndtri
+    draws = np.asarray(draws, dtype=np.float64)
+    flat = draws.ravel()
+    ranks = np.argsort(np.argsort(flat)) + 1.0
+    z = ndtri((ranks - 0.375) / (flat.size + 0.25))
+    return z.reshape(draws.shape)
+
+
+def rank_normalized_ess(draws: np.ndarray) -> float:
+    return effective_sample_size(rank_normalize(draws))
+
+
+def rank_normalized_rhat(draws: np.ndarray) -> float:
+    """Max of rank-normalized split-Rhat on draws and on folded draws
+    (|x - median|), per the posterior package's rhat."""
+    draws = np.atleast_2d(draws)
+    z = rank_normalize(draws)
+    folded = rank_normalize(np.abs(draws - np.median(draws)))
+    return max(split_rhat(z), split_rhat(folded))
 
 
 def summarize_chains(trace: np.ndarray, max_params: int = 64) -> dict:
