@@ -43,6 +43,7 @@ class ModelData:
     X: jax.Array          # (N, D) covariates (D may be 0)
     G: jax.Array          # (N, P, P) masked Gram matrices  B_i' W_i B_i
     pen: jax.Array        # (P, P) smoothness penalty (RW1 / graph / identity)
+    identity_basis: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def N(self):
@@ -166,10 +167,10 @@ def make_multivariate_data(y, X=None, dtype=jnp.float32) -> ModelData:
     mask = np.ones((N, P))
     B = np.broadcast_to(np.eye(P), (N, P, P)).copy()
     pen = np.eye(P)
-    return _finalize_data(y, mask, B, X, pen, dtype)
+    return _finalize_data(y, mask, B, X, pen, dtype, identity_basis=True)
 
 
-def _finalize_data(y, mask, B, X, pen, dtype) -> ModelData:
+def _finalize_data(y, mask, B, X, pen, dtype, identity_basis=False) -> ModelData:
     N = y.shape[0]
     if X is None:
         X = np.zeros((N, 0))
@@ -185,6 +186,7 @@ def _finalize_data(y, mask, B, X, pen, dtype) -> ModelData:
         X=jnp.asarray(X, dtype=dtype),
         G=jnp.asarray(G, dtype=dtype),
         pen=jnp.asarray(pen, dtype=dtype),
+        identity_basis=identity_basis,
     )
 
 

@@ -58,6 +58,28 @@ def _unroll(n):
     return bool(n <= _MAX_UNROLL)
 
 
+def _basis_matvec(data, v):
+    """B_n v for every n -> (N, L); identity basis short-circuits."""
+    if data.identity_basis:
+        return jnp.broadcast_to(v, (data.B.shape[0], v.shape[0]))
+    return jnp.einsum("nlp,p->nl", data.B, v, **_HI)
+
+
+def _basis_rproj(data, wt, r):
+    """sum_n wt_n B_n' r_n -> (P,); identity basis short-circuits."""
+    if data.identity_basis:
+        return jnp.einsum("n,np->p", wt, r, **_HI)
+    return jnp.einsum("n,nl,nlp->p", wt, r, data.B, **_HI)
+
+
+def _weighted_prec(data, wt):
+    """sum_n wt_n B_n' B_n -> (P, P); identity basis gives (sum wt) I."""
+    if data.identity_basis:
+        P = data.B.shape[2]
+        return jnp.sum(wt) * jnp.eye(P, dtype=wt.dtype)
+    return jnp.einsum("n,npq->pq", wt, data.G, **_HI)
+
+
 def _ll_quad(y, mu):
     """Masked squared-residual sum (padded entries contribute zero)."""
     r = y - mu
@@ -74,7 +96,10 @@ def _ll_quad(y, mu):
 
 def update_z(key, state, data, hp, cache: SweepCache, beta=1.0):
     T = feature_offsets(state, data.X)                     # (N, K, P)
-    C = jnp.einsum("nlp,nkp->nlk", data.B, T, **_HI)
+    if data.identity_basis:
+        C = T.transpose(0, 2, 1)                           # B = I: (N, L=P, K)
+    else:
+        C = jnp.einsum("nlp,nkp->nlk", data.B, T, **_HI)
 
     def row_loglik(Z):
         mu = jnp.einsum("nk,nlk->nl", Z, C, **_HI)
@@ -175,15 +200,15 @@ def update_nu(key, state, data, hp, cache: SweepCache, beta=1.0):
     def body(j, carry):
         nu, mu = carry
         zj = state.Z[:, j]
-        own_core = jnp.einsum("nlp,p->nl", data.B, nu[j], **_HI)
+        own_core = _basis_matvec(data, nu[j])
         own = zj[:, None] * own_core
         r = data.y - mu + own
         s = beta / state.sigma2
-        prec = s * jnp.einsum("n,npq->pq", zj * zj, data.G, **_HI) \
+        prec = s * _weighted_prec(data, zj * zj) \
             + jnp.take(state.tau, j) * data.pen
-        bvec = s * jnp.einsum("n,nl,nlp->p", zj, r, data.B, **_HI)
+        bvec = s * _basis_rproj(data, zj, r)
         nu_j, _ = mvn_from_precision(jax.random.fold_in(key, j), prec, bvec)
-        new_core = jnp.einsum("nlp,p->nl", data.B, nu_j, **_HI)
+        new_core = _basis_matvec(data, nu_j)
         mu = mu - own + zj[:, None] * new_core
         nu = nu.at[j].set(nu_j)
         return nu, mu
@@ -211,15 +236,15 @@ def update_eta(key, state, data, hp, cache: SweepCache, beta=1.0):
         xd = data.X[:, d]
         w = zj * xd
         eta_jd = jax.lax.dynamic_slice(eta, (j, 0, d), (1, eta.shape[1], 1))[0, :, 0]
-        own_core = jnp.einsum("nlp,p->nl", data.B, eta_jd, **_HI)
+        own_core = _basis_matvec(data, eta_jd)
         own = w[:, None] * own_core
         r = data.y - mu + own
         s = beta / state.sigma2
-        prec = s * jnp.einsum("n,npq->pq", w * w, data.G, **_HI) \
+        prec = s * _weighted_prec(data, w * w) \
             + state.tau_eta[j, d] * data.pen
-        bvec = s * jnp.einsum("n,nl,nlp->p", w, r, data.B, **_HI)
+        bvec = s * _basis_rproj(data, w, r)
         new, _ = mvn_from_precision(jax.random.fold_in(key, idx), prec, bvec)
-        new_core = jnp.einsum("nlp,p->nl", data.B, new, **_HI)
+        new_core = _basis_matvec(data, new)
         mu = mu - own + w[:, None] * new_core
         eta = jax.lax.dynamic_update_slice(eta, new[None, :, None], (j, 0, d))
         return eta, mu
@@ -251,11 +276,11 @@ def update_phi(key, state, data, hp, cache: SweepCache, beta=1.0):
         own = w[:, None] * own_core
         r = data.y - mu + own
         s = beta / state.sigma2
-        prec = s * jnp.einsum("n,npq->pq", w * w, data.G, **_HI) \
+        prec = s * _weighted_prec(data, w * w) \
             + jnp.diag(tilde_tau[j, m] * state.gamma[j, :, m])
-        bvec = s * jnp.einsum("n,nl,nlp->p", w, r, data.B, **_HI)
+        bvec = s * _basis_rproj(data, w, r)
         new, _ = mvn_from_precision(jax.random.fold_in(key, idx), prec, bvec)
-        new_core = jnp.einsum("nlp,p->nl", data.B, new, **_HI)
+        new_core = _basis_matvec(data, new)
         mu = mu - own + w[:, None] * new_core
         Phi = Phi.at[j, :, m].set(new)
         return Phi, mu
@@ -284,15 +309,15 @@ def update_xi(key, state, data, hp, cache: SweepCache, beta=1.0):
         d = idx % D
         w = state.Z[:, j] * state.chi[:, m] * data.X[:, d]
         xi_col = xi[j, :, d, m]
-        own_core = jnp.einsum("nlp,p->nl", data.B, xi_col, **_HI)
+        own_core = _basis_matvec(data, xi_col)
         own = w[:, None] * own_core
         r = data.y - mu + own
         s = beta / state.sigma2
-        prec = s * jnp.einsum("n,npq->pq", w * w, data.G, **_HI) \
+        prec = s * _weighted_prec(data, w * w) \
             + jnp.diag(tilde_tau_xi[j, m, d] * state.gamma_xi[j, :, d, m])
-        bvec = s * jnp.einsum("n,nl,nlp->p", w, r, data.B, **_HI)
+        bvec = s * _basis_rproj(data, w, r)
         new, _ = mvn_from_precision(jax.random.fold_in(key, idx), prec, bvec)
-        new_core = jnp.einsum("nlp,p->nl", data.B, new, **_HI)
+        new_core = _basis_matvec(data, new)
         mu = mu - own + w[:, None] * new_core
         xi = xi.at[j, :, d, m].set(new)
         return xi, mu
@@ -311,7 +336,10 @@ def update_xi(key, state, data, hp, cache: SweepCache, beta=1.0):
 def update_chi(key, state, data, hp, cache: SweepCache, beta=1.0):
     M = state.M
     U = eigen_directions(state, data.X)                      # (N, P, M)
-    F = jnp.einsum("nlp,npm->nlm", data.B, U, **_HI)         # (N, L, M)
+    if data.identity_basis:
+        F = U                                                # B = I, L = P
+    else:
+        F = jnp.einsum("nlp,npm->nlm", data.B, U, **_HI)     # (N, L, M)
 
     def body(m, carry):
         chi, mu = carry

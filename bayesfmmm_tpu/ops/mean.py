@@ -50,6 +50,8 @@ def effective_coeffs(state, X):
 
 def compute_mu(data, state):
     w = effective_coeffs(state, data.X)
+    if getattr(data, "identity_basis", False):
+        return w                               # B = I, L = P
     from bayesfmmm_tpu.ops import pallas_kernels
     if pallas_kernels.use_pallas():
         mu, _ = pallas_kernels.fused_mean_rss(data.B, w, data.y)
