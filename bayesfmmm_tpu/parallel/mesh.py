@@ -75,6 +75,7 @@ def shard_data(data, mesh: Mesh):
         X=jax.device_put(data.X, spec("X")),
         G=jax.device_put(data.G, spec("G")),
         pen=jax.device_put(data.pen, spec("pen")),
+        identity_basis=data.identity_basis,
     )
 
 
