@@ -121,3 +121,31 @@ def test_batched_run_with_async_persistence(tmp_path):
     assert np.isfinite(back["Sigma"]).all()
     st, k, it = load_checkpoint(str(tmp_path / "checkpoint"))
     assert it == 200
+
+
+def test_parallel_tempering_sharded_replicas():
+    """PT replicas sharded over the device mesh: the swap permutation
+    lowers to collective-permute; results must match unsharded execution."""
+    from bayesfmmm_tpu.parallel import tempering
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data, cfg = _small()
+    c = jnp.full((2,), 10.0)
+    R = 8
+    keys = jax.random.split(jax.random.PRNGKey(11), R)
+    states = jax.vmap(lambda k: init_state(k, cfg, data))(keys)
+
+    run = lambda k, s: tempering.run_parallel_tempering(
+        k, s, data, HP, c, n_rounds=5, beta_min=0.4)
+    cold_ref, _, rate_ref = jax.jit(run)(jax.random.PRNGKey(12), states)
+
+    mesh = pmesh.make_mesh(n_chain_shards=8, n_data_shards=1)
+    sharded_states = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(
+            mesh, P(*(("chains",) + (None,) * (x.ndim - 1))))), states)
+    cold_sh, _, rate_sh = jax.jit(run)(jax.random.PRNGKey(12), sharded_states)
+
+    np.testing.assert_allclose(np.asarray(rate_ref), np.asarray(rate_sh),
+                               atol=1e-6)
+    for a, b in zip(jax.tree.leaves(cold_ref), jax.tree.leaves(cold_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
