@@ -33,7 +33,7 @@ def run_batched(key, state, data, hp, c, *, directory, tot_mcmc_iters,
                 r_stored_iters, thinning_num=1, n_temp_trans=0,
                 beta_N_t=1.0, N_t=1, covariate_mean=False,
                 covariate_cov=False, family="functional",
-                checkpoint_every=None):
+                checkpoint_every=None, start_batch=0):
     """Run ``tot_mcmc_iters`` sweeps in ``r_stored_iters`` batches, saving
     each thinned batch in the reference's trace-file contract.
 
@@ -47,7 +47,8 @@ def run_batched(key, state, data, hp, c, *, directory, tot_mcmc_iters,
     logliks = []
     writer = AsyncTraceWriter()
     try:
-        for q in range(n_batches):
+        for q0 in range(n_batches):
+            q = start_batch + q0
             key, kb = jax.random.split(key)
             res = drivers.phase_warm_start(
                 kb, state, data, hp, c, n_iters=r_stored_iters,
@@ -58,7 +59,7 @@ def run_batched(key, state, data, hp, c, *, directory, tot_mcmc_iters,
             logliks.append(np.asarray(res.loglik))
             _submit_batch(writer, directory, res.traces, q, family,
                           covariate_mean, covariate_cov)
-            if checkpoint_every and (q + 1) % checkpoint_every == 0:
+            if checkpoint_every and (q0 + 1) % checkpoint_every == 0:
                 from bayesfmmm_tpu.io.checkpoint import save_checkpoint
                 save_checkpoint(os.path.join(directory, "checkpoint"),
                                 state, key,
@@ -106,3 +107,30 @@ def _submit_batch(writer, directory, traces, q, family, covm, covc):
             writer.submit(path, disk)
         else:
             armaio.save_trace_dir(directory, {name: arr}, batch=q)
+
+
+def resume_batched(directory, data, hp, c, *, additional_iters,
+                   r_stored_iters, thinning_num=1, n_temp_trans=0,
+                   beta_N_t=1.0, N_t=1, covariate_mean=False,
+                   covariate_cov=False, family="functional",
+                   checkpoint_every=1):
+    """Exact-state resume of a batched run from its checkpoint.
+
+    Continues the trace-file numbering after existing batches; the RNG key
+    stored in the checkpoint makes the continuation trajectory identical to
+    an uninterrupted run (capability the reference lacks — SURVEY.md §5).
+    """
+    from bayesfmmm_tpu.io.checkpoint import load_checkpoint
+
+    state, key, it = load_checkpoint(os.path.join(directory, "checkpoint"))
+    # count existing batches for file numbering
+    q = 0
+    while os.path.exists(os.path.join(directory, f"Nu{q}.txt")):
+        q += 1
+    return run_batched(
+        key, state, data, hp, c, directory=directory,
+        tot_mcmc_iters=additional_iters, r_stored_iters=r_stored_iters,
+        thinning_num=thinning_num, n_temp_trans=n_temp_trans,
+        beta_N_t=beta_N_t, N_t=N_t, covariate_mean=covariate_mean,
+        covariate_cov=covariate_cov, family=family,
+        checkpoint_every=checkpoint_every, start_batch=q)

@@ -149,3 +149,20 @@ def test_parallel_tempering_sharded_replicas():
                                atol=1e-6)
     for a, b in zip(jax.tree.leaves(cold_ref), jax.tree.leaves(cold_sh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_resume_batched(tmp_path):
+    """Resume continues file numbering and produces more batches."""
+    from bayesfmmm_tpu.samplers.batched import run_batched, resume_batched
+    from bayesfmmm_tpu.io import armaio
+    data, cfg = _small()
+    c = jnp.full((2,), 10.0)
+    state = init_state(jax.random.PRNGKey(15), cfg, data)
+    run_batched(jax.random.PRNGKey(16), state, data, HP, c,
+                directory=str(tmp_path), tot_mcmc_iters=100,
+                r_stored_iters=50, checkpoint_every=1)
+    final, ll, nb = resume_batched(str(tmp_path), data, HP, c,
+                                   additional_iters=100, r_stored_iters=50)
+    assert nb == 2
+    back = armaio.load_trace_dir(str(tmp_path))
+    assert back["Nu"].shape[0] == 200    # 4 batches x 50
