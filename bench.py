@@ -46,7 +46,7 @@ def main():
     from bayesfmmm_tpu.utils.simulate import simulate_functional
 
     K, P, M, N = 3, 8, 4, 100
-    N_CHAINS = 16
+    N_CHAINS = 64
     N_ITERS = 300
     data, _ = simulate_functional(seed=7, N=N, K=K, P=P, M=M,
                                   n_time=(100, 100))
@@ -122,7 +122,7 @@ def main():
     base_ess_per_sec = ess_per_iter_chain * base_iters_per_sec
 
     result = {
-        "metric": "ess_per_sec_functional_K3_P8_N100_16chains",
+        "metric": "ess_per_sec_functional_K3_P8_N100_64chains",
         "value": round(tpu_ess_per_sec, 2),
         "unit": "ESS/s",
         "vs_baseline": round(tpu_ess_per_sec / base_ess_per_sec, 2),
