@@ -328,12 +328,15 @@ def fit(Y=None, time=None, *, K, M, data=None, X=None, family="functional",
 
 
 def fit_hmc(data, *, K, M, covariate_cov=False, n_warmup=500, n_samples=500,
-            n_chains=4, n_leapfrog=24, init="spectral",
-            priors: Priors | None = None, seed=0):
-    """Whole-model HMC on the unconstrained log-joint — the gradient-based
-    production path (SURVEY.md §7 primary path; models/logjoint.py +
-    samplers/hmc.py).
+            n_chains=4, n_leapfrog=24, init="spectral", method="hmc",
+            max_depth=8, priors: Priors | None = None, seed=0):
+    """Whole-model HMC/NUTS on the unconstrained log-joint — the
+    gradient-based production path (SURVEY.md §7 primary path;
+    models/logjoint.py + samplers/hmc.py, samplers/nuts.py).
 
+    method: 'hmc' (jittered fixed-length trajectories, the TPU default —
+    one static-shape program) or 'nuts' (iterative No-U-Turn with
+    ``max_depth``; data-dependent while_loops, adaptive trajectory length).
     init: 'spectral' (archetypal warm start mapped through from_state),
     'random', or a GibbsState to start all chains from (with jitter).
     Returns a FitResult whose traces are the pooled post-warmup draws of
@@ -378,9 +381,17 @@ def fit_hmc(data, *, K, M, covariate_cov=False, n_warmup=500, n_samples=500,
         uncs = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), unc0)
 
-    trace, diag = hmc_mod.run_hmc(
-        jax.random.fold_in(key, 2), lj, uncs, n_warmup=n_warmup,
-        n_samples=n_samples, n_leapfrog=n_leapfrog)
+    if method == "nuts":
+        from bayesfmmm_tpu.samplers import nuts as nuts_mod
+        trace, diag = nuts_mod.run_nuts(
+            jax.random.fold_in(key, 2), lj, uncs, n_warmup=n_warmup,
+            n_samples=n_samples, max_depth=max_depth)
+    elif method == "hmc":
+        trace, diag = hmc_mod.run_hmc(
+            jax.random.fold_in(key, 2), lj, uncs, n_warmup=n_warmup,
+            n_samples=n_samples, n_leapfrog=n_leapfrog)
+    else:
+        raise ValueError(f"unknown method {method!r}; use 'hmc' or 'nuts'")
     states = jax.vmap(jax.vmap(logjoint.to_state))(trace)
 
     ll = jax.jit(jax.vmap(jax.vmap(

@@ -36,6 +36,24 @@ __all__ = [
 # Fitting (UserFunctions.cpp:166, :684, :1341 and MV/HD mirrors)
 # ---------------------------------------------------------------------------
 
+def _priors_from_kwargs(kw):
+    """Map the reference's named hyperparameters (UserFunctions.cpp:176-193,
+    :700: b, alpha1l, ..., alpha_0, beta_0, nu_1, c) onto a Priors config.
+    Unknown names raise, matching the R call-signature contract."""
+    from dataclasses import fields
+
+    from bayesfmmm_tpu.config import Priors
+
+    valid = {f.name for f in fields(Priors)}
+    unknown = set(kw) - valid
+    if unknown:
+        raise TypeError(f"unknown hyperparameter(s): {sorted(unknown)}")
+    c = kw.pop("c", None)
+    if c is not None:
+        kw["c"] = tuple(np.asarray(c, dtype=float).ravel())
+    return Priors(**kw).validate()
+
+
 def BFMMM_Nu_Z_multiple_try(tot_mcmc_iters, n_try, K, Y, time, n_funct,
                             basis_degree, n_eigen, boundary_knots,
                             internal_knots, X=None, **priors):
@@ -43,14 +61,16 @@ def BFMMM_Nu_Z_multiple_try(tot_mcmc_iters, n_try, K, Y, time, n_funct,
                         tot_mcmc_iters=tot_mcmc_iters, n_try=n_try, X=X,
                         family="functional", basis_degree=basis_degree,
                         internal_knots=internal_knots,
-                        boundary_knots=boundary_knots)
+                        boundary_knots=boundary_knots,
+                        priors=_priors_from_kwargs(priors))
 
 
 def BFMMM_Theta_est(tot_mcmc_iters, n_try, nu_z_result, n_eigen=None,
                     cov_adj=False, **priors):
     return api.fit_theta(nu_z_result, tot_mcmc_iters=tot_mcmc_iters,
                          n_try=max(n_try, 1), M=n_eigen,
-                         covariate_cov=cov_adj)
+                         covariate_cov=cov_adj,
+                         priors=_priors_from_kwargs(priors))
 
 
 def BFMMM_warm_start(tot_mcmc_iters, nu_z_result, theta_result,
@@ -62,13 +82,16 @@ def BFMMM_warm_start(tot_mcmc_iters, nu_z_result, theta_result,
                               thinning_num=thinning_num,
                               burnin_prop=burnin_prop,
                               n_temp_trans=n_temp_trans, beta_N_t=beta_N_t,
-                              N_t=N_t, directory=dir)
+                              N_t=N_t, directory=dir,
+                              r_stored_iters=r_stored_iters,
+                              priors=_priors_from_kwargs(priors))
 
 
 def BMVMMM_Nu_Z_multiple_try(tot_mcmc_iters, n_try, K, Y, n_eigen, X=None,
                              **priors):
     return api.fit_nu_z(Y, K=K, M=n_eigen, tot_mcmc_iters=tot_mcmc_iters,
-                        n_try=n_try, X=X, family="multivariate")
+                        n_try=n_try, X=X, family="multivariate",
+                        priors=_priors_from_kwargs(priors))
 
 
 BMVMMM_Theta_est = BFMMM_Theta_est
@@ -82,7 +105,8 @@ def BHDFMMM_Nu_Z_multiple_try(tot_mcmc_iters, n_try, K, Y, time, n_funct,
                         tot_mcmc_iters=tot_mcmc_iters, n_try=n_try, X=X,
                         family="hd", basis_degrees=basis_degree,
                         internal_knots_list=internal_knots,
-                        boundary_knots=boundary_knots)
+                        boundary_knots=boundary_knots,
+                        priors=_priors_from_kwargs(priors))
 
 
 BHDFMMM_Theta_est = BFMMM_Theta_est

@@ -124,3 +124,26 @@ def test_advi_init_pipeline():
                             n_chains=2)
     assert np.isfinite(res.all_chain_loglik).all()
     assert res.elbo_trace[-10:].mean() > res.elbo_trace[:10].mean()
+
+
+def test_reference_api_priors_plumbing():
+    """Reference-named hyperparameters reach the sampler (they are not
+    silently dropped), and unknown names raise like a bad R call."""
+    from bayesfmmm_tpu import reference_api as ra
+
+    hp = ra._priors_from_kwargs(dict(b=5.0, alpha_nu=2.0, c=[1.0, 2.0]))
+    assert hp.b == 5.0 and hp.alpha_nu == 2.0 and hp.c == (1.0, 2.0)
+    with pytest.raises(TypeError):
+        ra._priors_from_kwargs(dict(not_a_prior=1.0))
+    with pytest.raises(ValueError):
+        ra._priors_from_kwargs(dict(b=-1.0))
+
+    rng = np.random.default_rng(31)
+    t_list = [np.sort(rng.uniform(0, 1, rng.integers(10, 13)))
+              for _ in range(10)]
+    y_list = [np.sin(2 * np.pi * t) + 0.1 * rng.normal(size=t.shape)
+              for t in t_list]
+    res = ra.BFMMM_Nu_Z_multiple_try(
+        150, 0, 2, y_list, t_list, 10, 3, 2, [0.0, 1.0],
+        np.linspace(0.25, 0.75, 2), b=5.0, alpha_nu=2.0)
+    assert res.loglik.shape == (150,)
