@@ -11,23 +11,24 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from bayesfmmm_tpu.ops.mean import build_cache
+from bayesfmmm_tpu.ops.mean import (compute_mu, effective_coeffs,
+                                    rss_from_coeffs)
 
 _LOG_2PI = 1.8378770664093453
 
 
 def model_mean(state, data):
     """Full model mean mu[n, l] (zero at padded points)."""
-    return build_cache(data, state).mu
+    return compute_mu(data, state)
 
 
 def log_likelihood(state, data):
-    """Total Gaussian log likelihood (calcLikelihood, :19-44)."""
-    mu = model_mean(state, data)
-    r = (data.y - mu) * data.mask
+    """Total Gaussian log likelihood (calcLikelihood, :19-44); the RSS is
+    evaluated in Gram space (ops/mean.py), never materializing mu."""
+    rss = rss_from_coeffs(data, effective_coeffs(state, data.X))
     n = jnp.sum(data.mask)
     return (-0.5 * n * (_LOG_2PI + jnp.log(state.sigma2))
-            - 0.5 * jnp.sum(r * r) / state.sigma2)
+            - 0.5 * rss / state.sigma2)
 
 
 def pointwise_log_density(state, data):

@@ -149,16 +149,15 @@ def make_log_joint(data, hp, c, pen_rank=None, temperature=1.0):
     n_obs = data.n_obs_total
 
     def log_joint(unc: UncState):
-        from bayesfmmm_tpu.ops.mean import build_cache
+        from bayesfmmm_tpu.ops.mean import effective_coeffs, rss_from_coeffs
         state = to_state(unc)
         K = state.pi.shape[0]
         D = data.D
 
-        # --- likelihood (CalculateLikelihood.h:19-44) ---
-        mu = build_cache(data, state).mu
-        r = data.y - mu
+        # --- likelihood (CalculateLikelihood.h:19-44), Gram-space RSS ---
+        rss = rss_from_coeffs(data, effective_coeffs(state, data.X))
         ll = -0.5 * n_obs * (jnp.log(2 * jnp.pi) + unc.log_sigma2) \
-            - 0.5 * jnp.sum(r * r) / state.sigma2
+            - 0.5 * rss / state.sigma2
 
         lp = temperature * ll
 

@@ -43,6 +43,8 @@ class ModelData:
     X: jax.Array          # (N, D) covariates (D may be 0)
     G: jax.Array          # (N, P, P) masked Gram matrices  B_i' W_i B_i
     pen: jax.Array        # (P, P) smoothness penalty (RW1 / graph / identity)
+    u: jax.Array          # (N, P) basis-projected data  B_i' y_i
+    yy: jax.Array         # (N,)   squared data norms  ||y_i||^2
     identity_basis: bool = struct.field(pytree_node=False, default=False)
 
     @property
@@ -179,6 +181,13 @@ def _finalize_data(y, mask, B, X, pen, dtype, identity_basis=False) -> ModelData
         X = X[:, None]
     Bm = B * mask[:, :, None]
     G = np.einsum("nlp,nlq->npq", Bm, Bm)
+    # Gram-space sufficient statistics (computed in f64 on the host): with
+    # u_i = B_i'y_i and yy_i = ||y_i||^2, every residual contraction in the
+    # Gibbs sweep collapses to P-dimensional algebra — no (N, L) tensor is
+    # ever touched inside the hot loop (see ops/gibbs.py module docstring).
+    ym = y * mask
+    u = np.einsum("nlp,nl->np", Bm, ym)
+    yy = np.einsum("nl,nl->n", ym, ym)
     return ModelData(
         y=jnp.asarray(y, dtype=dtype),
         mask=jnp.asarray(mask, dtype=dtype),
@@ -186,6 +195,8 @@ def _finalize_data(y, mask, B, X, pen, dtype, identity_basis=False) -> ModelData
         X=jnp.asarray(X, dtype=dtype),
         G=jnp.asarray(G, dtype=dtype),
         pen=jnp.asarray(pen, dtype=dtype),
+        u=jnp.asarray(u, dtype=dtype),
+        yy=jnp.asarray(yy, dtype=dtype),
         identity_basis=identity_basis,
     )
 

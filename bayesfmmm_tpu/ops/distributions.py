@@ -93,10 +93,23 @@ def mvn_from_precision(key, prec, b, *, jitter=1e-6, dtype=None):
 
     Returns (sample, mean).
     """
+    return mvn_from_chol(key, chol_precision(prec, jitter=jitter), b)
+
+
+def chol_precision(prec, *, jitter=1e-6):
+    """Jittered (batched) Cholesky of a precision matrix, prec + eps*scale*I.
+
+    Factored out of mvn_from_precision so blocked-Gibbs kernels can batch
+    the factorization of every block's precision upfront (ops/gibbs.py) and
+    keep only triangular solves inside their sequential loops."""
     P = prec.shape[-1]
     scale = jnp.trace(prec, axis1=-2, axis2=-1) / P + 1.0
     A = prec + (jitter * scale)[..., None, None] * jnp.eye(P, dtype=prec.dtype)
-    L = jnp.linalg.cholesky(A)
+    return jnp.linalg.cholesky(A)
+
+
+def mvn_from_chol(key, L, b):
+    """Sample N(prec^{-1} b, prec^{-1}) given L = chol(prec); (sample, mean)."""
     w = solve_triangular(L, b[..., None], lower=True)
     mean = solve_triangular(L.conj().mT, w, lower=False)[..., 0]
     z = jax.random.normal(key, b.shape, dtype=b.dtype)

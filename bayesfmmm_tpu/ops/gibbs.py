@@ -14,12 +14,19 @@ TPU-native re-derivation of the reference's L2 kernel layer
   * Per-observation / per-feature C++ loops become batched einsums over
     precomputed Gram matrices (`data.G`), with sequential blocked draws kept
     only where the reference's Gibbs factorization requires them (rows of
-    nu, slices of Phi, ...), implemented as `lax.fori_loop` with incremental
-    O(N·L·P) mean updates.
+    nu, slices of Phi, ...), implemented as `lax.fori_loop`.
+  * **Gram space** (ops/mean.py module docstring): the sweep carries only
+    the effective coefficients w_n (P-vector per observation) and the
+    sufficient statistics u_n = B_n'y_n, G_n = B_n'B_n, yy_n = ||y_n||^2 —
+    no (N, L) tensor is formed anywhere in the sweep, cutting HBM traffic
+    by ~L/P.  Block precisions depend only on (Z, chi, X, priors), never on
+    the coefficients being redrawn, so every blocked kernel factorizes ALL
+    its block precisions in ONE batched Cholesky upfront and keeps just
+    O(N·P) dot products + triangular solves inside the sequential loop.
 
 Masking: `data.B` rows and `data.y` entries are pre-zeroed at padded time
-points, so residuals vanish there without explicit mask multiplies; only
-observation *counts* consult `data.mask`.
+points, so u/G/yy absorb the mask; only observation *counts* consult
+`data.mask`.
 
 Cited reference lines document the exact conditional each kernel reproduces.
 """
@@ -31,8 +38,10 @@ import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
 from bayesfmmm_tpu.ops.distributions import (
+    chol_precision,
     dirichlet_logpdf_unnormalized,
     log_multi_beta,
+    mvn_from_chol,
     mvn_from_precision,
     rdirichlet,
     truncnorm_logpdf,
@@ -43,7 +52,7 @@ from bayesfmmm_tpu.ops.mean import (
     build_cache,
     eigen_directions,
     feature_offsets,
-    refresh_mu,
+    rss_from_coeffs,
 )
 
 _HI = dict(precision="highest")
@@ -58,32 +67,13 @@ def _unroll(n):
     return bool(n <= _MAX_UNROLL)
 
 
-def _basis_matvec(data, v):
-    """B_n v for every n -> (N, L); identity basis short-circuits."""
-    if data.identity_basis:
-        return jnp.broadcast_to(v, (data.B.shape[0], v.shape[0]))
-    return jnp.einsum("nlp,p->nl", data.B, v, **_HI)
+def _gram_bvec(data, wt, w_excl):
+    """sum_n wt_n B_n'(y_n - B_n w_excl_n) = sum_n wt_n (u_n - G_n w_excl_n).
 
-
-def _basis_rproj(data, wt, r):
-    """sum_n wt_n B_n' r_n -> (P,); identity basis short-circuits."""
-    if data.identity_basis:
-        return jnp.einsum("n,np->p", wt, r, **_HI)
-    return jnp.einsum("n,nl,nlp->p", wt, r, data.B, **_HI)
-
-
-def _weighted_prec(data, wt):
-    """sum_n wt_n B_n' B_n -> (P, P); identity basis gives (sum wt) I."""
-    if data.identity_basis:
-        P = data.B.shape[2]
-        return jnp.sum(wt) * jnp.eye(P, dtype=wt.dtype)
-    return jnp.einsum("n,npq->pq", wt, data.G, **_HI)
-
-
-def _ll_quad(y, mu):
-    """Masked squared-residual sum (padded entries contribute zero)."""
-    r = y - mu
-    return jnp.sum(r * r)
+    The Gram-space form of every blocked kernel's linear term — O(N·P^2)
+    with no L-sized intermediate."""
+    Gw = jnp.einsum("npq,nq->np", data.G, w_excl, **_HI)
+    return jnp.einsum("n,np->p", wt, data.u - Gw, **_HI)
 
 
 # ---------------------------------------------------------------------------
@@ -95,16 +85,19 @@ def _ll_quad(y, mu):
 # ---------------------------------------------------------------------------
 
 def update_z(key, state, data, hp, cache: SweepCache, beta=1.0):
+    # Per-row Gaussian log-likelihood as an exact K-dim quadratic form:
+    # ||y_n - B_n T_n'z||^2 = yy_n - 2 z·(T_n u_n) + z'(T_n G_n T_n')z, so
+    # both MH endpoints cost O(K^2) per row instead of O(n_i) residual scans.
     T = feature_offsets(state, data.X)                     # (N, K, P)
-    if data.identity_basis:
-        C = T.transpose(0, 2, 1)                           # B = I: (N, L=P, K)
-    else:
-        C = jnp.einsum("nlp,nkp->nlk", data.B, T, **_HI)
+    GT = jnp.einsum("npq,nkq->nkp", data.G, T, **_HI)      # (N, K, P)
+    bT = jnp.einsum("nkp,np->nk", T, data.u, **_HI)        # (N, K)
+    QT = jnp.einsum("nkp,njp->nkj", T, GT, **_HI)          # (N, K, K)
 
     def row_loglik(Z):
-        mu = jnp.einsum("nk,nlk->nl", Z, C, **_HI)
-        r = data.y - mu
-        return -beta * jnp.sum(r * r, axis=1) / (2.0 * state.sigma2)
+        quad = (data.yy
+                - 2.0 * jnp.einsum("nk,nk->n", Z, bT, **_HI)
+                + jnp.einsum("nk,nkj,nj->n", Z, QT, Z, **_HI))
+        return -beta * quad / (2.0 * state.sigma2)
 
     def row_lprior(Z):
         return jnp.sum((state.alpha3 * state.pi - 1.0) * jnp.log(Z), axis=1)
@@ -127,8 +120,8 @@ def update_z(key, state, data, hp, cache: SweepCache, beta=1.0):
     accept = jnp.where(jnp.isnan(log_acc), False, jnp.log(u) < log_acc)
     accept = accept | boundary
     Z = jnp.where(accept[:, None], Z_new, state.Z)
-    state = state.replace(Z=Z)
-    return state, refresh_mu(cache, data, state)
+    w = jnp.einsum("nk,nkp->np", Z, T, **_HI)
+    return state.replace(Z=Z), cache.replace(w=w)
 
 
 # ---------------------------------------------------------------------------
@@ -196,26 +189,27 @@ def update_alpha3(key, state, hp):
 
 def update_nu(key, state, data, hp, cache: SweepCache, beta=1.0):
     K = state.K
+    s = beta / state.sigma2
+    # All K block precisions depend only on (Z, tau, sigma2) — factor them
+    # in one batched Cholesky; the sequential loop keeps only the bvec and
+    # two P-dim triangular solves.
+    prec = s * jnp.einsum("nj,npq->jpq", state.Z * state.Z, data.G, **_HI) \
+        + state.tau[:, None, None] * data.pen
+    Lc = chol_precision(prec)
 
     def body(j, carry):
-        nu, mu = carry
+        nu, w = carry
         zj = state.Z[:, j]
-        own_core = _basis_matvec(data, nu[j])
-        own = zj[:, None] * own_core
-        r = data.y - mu + own
-        s = beta / state.sigma2
-        prec = s * _weighted_prec(data, zj * zj) \
-            + jnp.take(state.tau, j) * data.pen
-        bvec = s * _basis_rproj(data, zj, r)
-        nu_j, _ = mvn_from_precision(jax.random.fold_in(key, j), prec, bvec)
-        new_core = _basis_matvec(data, nu_j)
-        mu = mu - own + zj[:, None] * new_core
+        w_excl = w - zj[:, None] * nu[j]
+        bvec = s * _gram_bvec(data, zj, w_excl)
+        nu_j, _ = mvn_from_chol(jax.random.fold_in(key, j), Lc[j], bvec)
+        w = w_excl + zj[:, None] * nu_j
         nu = nu.at[j].set(nu_j)
-        return nu, mu
+        return nu, w
 
-    nu, mu = jax.lax.fori_loop(
-        0, K, body, (state.nu, cache.mu), unroll=_unroll(K))
-    return state.replace(nu=nu), cache.replace(mu=mu)
+    nu, w = jax.lax.fori_loop(
+        0, K, body, (state.nu, cache.w), unroll=_unroll(K))
+    return state.replace(nu=nu), cache.replace(w=w)
 
 
 # ---------------------------------------------------------------------------
@@ -228,30 +222,29 @@ def update_eta(key, state, data, hp, cache: SweepCache, beta=1.0):
     if D == 0:
         return state, cache
 
+    s = beta / state.sigma2
+    Z2X2 = jnp.einsum("nd,nj->djn", data.X * data.X, state.Z * state.Z)
+    prec = s * jnp.einsum("djn,npq->djpq", Z2X2, data.G, **_HI) \
+        + state.tau_eta.T[:, :, None, None] * data.pen   # (D, K, P, P)
+    Lc = chol_precision(prec.reshape(D * K, prec.shape[-1], prec.shape[-1]))
+
     def body(idx, carry):
-        eta, mu = carry
+        eta, w = carry
         d = idx // K
         j = idx % K
-        zj = state.Z[:, j]
-        xd = data.X[:, d]
-        w = zj * xd
-        eta_jd = jax.lax.dynamic_slice(eta, (j, 0, d), (1, eta.shape[1], 1))[0, :, 0]
-        own_core = _basis_matvec(data, eta_jd)
-        own = w[:, None] * own_core
-        r = data.y - mu + own
-        s = beta / state.sigma2
-        prec = s * _weighted_prec(data, w * w) \
-            + state.tau_eta[j, d] * data.pen
-        bvec = s * _basis_rproj(data, w, r)
-        new, _ = mvn_from_precision(jax.random.fold_in(key, idx), prec, bvec)
-        new_core = _basis_matvec(data, new)
-        mu = mu - own + w[:, None] * new_core
+        wt = state.Z[:, j] * data.X[:, d]
+        eta_jd = jax.lax.dynamic_slice(
+            eta, (j, 0, d), (1, eta.shape[1], 1))[0, :, 0]
+        w_excl = w - wt[:, None] * eta_jd
+        bvec = s * _gram_bvec(data, wt, w_excl)
+        new, _ = mvn_from_chol(jax.random.fold_in(key, idx), Lc[idx], bvec)
+        w = w_excl + wt[:, None] * new
         eta = jax.lax.dynamic_update_slice(eta, new[None, :, None], (j, 0, d))
-        return eta, mu
+        return eta, w
 
-    eta, mu = jax.lax.fori_loop(
-        0, D * K, body, (state.eta, cache.mu), unroll=_unroll(D * K))
-    return state.replace(eta=eta), cache.replace(mu=mu)
+    eta, w = jax.lax.fori_loop(
+        0, D * K, body, (state.eta, cache.w), unroll=_unroll(D * K))
+    return state.replace(eta=eta), cache.replace(w=w)
 
 
 # ---------------------------------------------------------------------------
@@ -263,31 +256,30 @@ def update_eta(key, state, data, hp, cache: SweepCache, beta=1.0):
 
 def update_phi(key, state, data, hp, cache: SweepCache, beta=1.0):
     K, M = state.K, state.M
+    P = state.Phi.shape[1]
     tilde_tau = jnp.cumprod(state.delta, axis=1)  # (K, M)
+    s = beta / state.sigma2
+    wsq = jnp.einsum("nj,nm->jmn", state.Z * state.Z, state.chi * state.chi)
+    prior_diag = tilde_tau[:, :, None] * state.gamma.transpose(0, 2, 1)
+    prec = s * jnp.einsum("jmn,npq->jmpq", wsq, data.G, **_HI) \
+        + prior_diag[..., :, None] * jnp.eye(P, dtype=state.Phi.dtype)
+    Lc = chol_precision(prec.reshape(K * M, P, P))
 
     def body(idx, carry):
-        Phi, mu = carry
+        Phi, w = carry
         j = idx // M
         m = idx % M
-        zj = state.Z[:, j]
-        cm = state.chi[:, m]
-        w = zj * cm
-        own_core = jnp.einsum("nlp,p->nl", data.B, Phi[j, :, m], **_HI)
-        own = w[:, None] * own_core
-        r = data.y - mu + own
-        s = beta / state.sigma2
-        prec = s * _weighted_prec(data, w * w) \
-            + jnp.diag(tilde_tau[j, m] * state.gamma[j, :, m])
-        bvec = s * _basis_rproj(data, w, r)
-        new, _ = mvn_from_precision(jax.random.fold_in(key, idx), prec, bvec)
-        new_core = _basis_matvec(data, new)
-        mu = mu - own + w[:, None] * new_core
+        wt = state.Z[:, j] * state.chi[:, m]
+        w_excl = w - wt[:, None] * Phi[j, :, m]
+        bvec = s * _gram_bvec(data, wt, w_excl)
+        new, _ = mvn_from_chol(jax.random.fold_in(key, idx), Lc[idx], bvec)
+        w = w_excl + wt[:, None] * new
         Phi = Phi.at[j, :, m].set(new)
-        return Phi, mu
+        return Phi, w
 
-    Phi, mu = jax.lax.fori_loop(
-        0, K * M, body, (state.Phi, cache.mu), unroll=_unroll(K * M))
-    return state.replace(Phi=Phi), cache.replace(mu=mu)
+    Phi, w = jax.lax.fori_loop(
+        0, K * M, body, (state.Phi, cache.w), unroll=_unroll(K * M))
+    return state.replace(Phi=Phi), cache.replace(w=w)
 
 
 # ---------------------------------------------------------------------------
@@ -301,30 +293,33 @@ def update_xi(key, state, data, hp, cache: SweepCache, beta=1.0):
     if D == 0:
         return state, cache
     tilde_tau_xi = jnp.cumprod(state.delta_xi, axis=1)  # (K, M, D)
+    P = state.xi.shape[1]
+    s = beta / state.sigma2
+    wsq = jnp.einsum("nj,nm,nd->jmdn", state.Z * state.Z,
+                     state.chi * state.chi, data.X * data.X)
+    # gamma_xi is (K, P, D, M) -> diag vectors ordered (j, m, d, P)
+    prior_diag = tilde_tau_xi[..., None] \
+        * state.gamma_xi.transpose(0, 3, 2, 1)            # (K, M, D, P)
+    prec = s * jnp.einsum("jmdn,npq->jmdpq", wsq, data.G, **_HI) \
+        + prior_diag[..., :, None] * jnp.eye(P, dtype=state.xi.dtype)
+    Lc = chol_precision(prec.reshape(K * M * D, P, P))
 
     def body(idx, carry):
-        xi, mu = carry
+        xi, w = carry
         j = idx // (M * D)
         m = (idx // D) % M
         d = idx % D
-        w = state.Z[:, j] * state.chi[:, m] * data.X[:, d]
-        xi_col = xi[j, :, d, m]
-        own_core = _basis_matvec(data, xi_col)
-        own = w[:, None] * own_core
-        r = data.y - mu + own
-        s = beta / state.sigma2
-        prec = s * _weighted_prec(data, w * w) \
-            + jnp.diag(tilde_tau_xi[j, m, d] * state.gamma_xi[j, :, d, m])
-        bvec = s * _basis_rproj(data, w, r)
-        new, _ = mvn_from_precision(jax.random.fold_in(key, idx), prec, bvec)
-        new_core = _basis_matvec(data, new)
-        mu = mu - own + w[:, None] * new_core
+        wt = state.Z[:, j] * state.chi[:, m] * data.X[:, d]
+        w_excl = w - wt[:, None] * xi[j, :, d, m]
+        bvec = s * _gram_bvec(data, wt, w_excl)
+        new, _ = mvn_from_chol(jax.random.fold_in(key, idx), Lc[idx], bvec)
+        w = w_excl + wt[:, None] * new
         xi = xi.at[j, :, d, m].set(new)
-        return xi, mu
+        return xi, w
 
-    xi, mu = jax.lax.fori_loop(
-        0, K * M * D, body, (state.xi, cache.mu), unroll=_unroll(K * M * D))
-    return state.replace(xi=xi), cache.replace(mu=mu)
+    xi, w = jax.lax.fori_loop(
+        0, K * M * D, body, (state.xi, cache.w), unroll=_unroll(K * M * D))
+    return state.replace(xi=xi), cache.replace(w=w)
 
 
 # ---------------------------------------------------------------------------
@@ -335,30 +330,32 @@ def update_xi(key, state, data, hp, cache: SweepCache, beta=1.0):
 
 def update_chi(key, state, data, hp, cache: SweepCache, beta=1.0):
     M = state.M
+    s = beta / state.sigma2
     U = eigen_directions(state, data.X)                      # (N, P, M)
-    if data.identity_basis:
-        F = U                                                # B = I, L = P
-    else:
-        F = jnp.einsum("nlp,npm->nlm", data.B, U, **_HI)     # (N, L, M)
+    # Gram space: F_nm = B_n U_nm is never formed.  F'F = U'GU and
+    # F'y = U·u precompute for ALL m at once; the loop keeps dot products.
+    GU = jnp.einsum("npq,nqm->npm", data.G, U, **_HI)        # (N, P, M)
+    Wden = 1.0 + s * jnp.einsum("npm,npm->nm", U, GU, **_HI)  # (N, M)
+    uU = jnp.einsum("np,npm->nm", data.u, U, **_HI)          # (N, M)
 
     def body(m, carry):
-        chi, mu = carry
-        Fm = jax.lax.dynamic_index_in_dim(F, m, 2, False)       # (N, L)
+        chi, w = carry
+        Um = jax.lax.dynamic_index_in_dim(U, m, 2, False)       # (N, P)
+        GUm = jax.lax.dynamic_index_in_dim(GU, m, 2, False)     # (N, P)
         cm = jax.lax.dynamic_index_in_dim(chi, m, 1, False)     # (N,)
-        own = cm[:, None] * Fm
-        r = data.y - mu + own
-        s = beta / state.sigma2
-        w = s * jnp.sum(Fm * r, axis=1)
-        W = 1.0 + s * jnp.sum(Fm * Fm, axis=1)
-        z = jax.random.normal(jax.random.fold_in(key, m), w.shape, w.dtype)
-        new = w / W + z / jnp.sqrt(W)
-        mu = mu - own + new[:, None] * Fm
+        w_excl = w - cm[:, None] * Um
+        fr = jax.lax.dynamic_index_in_dim(uU, m, 1, False) \
+            - jnp.einsum("np,np->n", GUm, w_excl, **_HI)        # F_m' r
+        Wm = jax.lax.dynamic_index_in_dim(Wden, m, 1, False)
+        z = jax.random.normal(jax.random.fold_in(key, m), fr.shape, fr.dtype)
+        new = s * fr / Wm + z / jnp.sqrt(Wm)
+        w = w_excl + new[:, None] * Um
         chi = jax.lax.dynamic_update_index_in_dim(chi, new, m, 1)
-        return chi, mu
+        return chi, w
 
-    chi, mu = jax.lax.fori_loop(0, M, body, (state.chi, cache.mu),
-                                unroll=_unroll(M))
-    return state.replace(chi=chi), cache.replace(mu=mu)
+    chi, w = jax.lax.fori_loop(0, M, body, (state.chi, cache.w),
+                               unroll=_unroll(M))
+    return state.replace(chi=chi), cache.replace(w=w)
 
 
 # ---------------------------------------------------------------------------
@@ -368,7 +365,7 @@ def update_chi(key, state, data, hp, cache: SweepCache, beta=1.0):
 # ---------------------------------------------------------------------------
 
 def update_sigma(key, state, data, hp, cache: SweepCache, beta=1.0):
-    rss = _ll_quad(data.y, cache.mu)
+    rss = rss_from_coeffs(data, cache.w)
     a = hp.alpha_0 + beta * data.n_obs_total / 2.0
     b = hp.beta_0 + beta * rss / 2.0
     g = jax.random.gamma(key, a)

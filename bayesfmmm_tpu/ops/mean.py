@@ -15,10 +15,22 @@ observation,
 
 so  mu = batched-matvec(B, w)  at O(N·K·P·(M + D + M·D)) + O(N·L·P) cost —
 the naive design-product materialization B·Phi of shape (N, L, K, M) costs
-O(N·L·P·K·M) FLOPs and HBM traffic and is never needed.  Each conditional
-updater forms its residual by *adding back its own term* (an O(N·L·P)
-matvec) against the cached total mean.  When D == 0 the eta/xi einsums
-contract over an empty axis and vanish for free.
+O(N·L·P·K·M) FLOPs and HBM traffic and is never needed.  When D == 0 the
+eta/xi einsums contract over an empty axis and vanish for free.
+
+Second TPU-native identity (Gram space): every Gibbs conditional only needs
+residuals through B_n' r_n and ||r_n||^2, and with the precomputed
+sufficient statistics u_n = B_n'y_n, G_n = B_n'B_n, yy_n = ||y_n||^2
+(models/state.py) these are
+
+    B_n' r_n   = u_n − G_n w_n,
+    ||r_n||^2  = yy_n − 2 u_n·w_n + w_n'G_n w_n,
+
+so the sweep maintains only the P-vector w_n per observation and NO (N, L)
+tensor appears in the hot loop at all — an L/P-fold cut in HBM traffic
+(the reference recomputes length-n_i residuals in every scalar loop,
+UpdateNu.h:42-63).  mu itself is materialized only at trace/likelihood
+time via compute_mu.
 """
 
 from __future__ import annotations
@@ -31,8 +43,12 @@ _EINSUM_KW = dict(precision="highest")
 
 @struct.dataclass
 class SweepCache:
-    """Running model mean, maintained incrementally through a sweep."""
-    mu: jnp.ndarray     # (N, L)
+    """Running effective mean coefficients, maintained through a sweep.
+
+    w[n] is the P-vector such that the model mean is mu_n = B_n w[n]; each
+    blocked updater subtracts its own rank-1 contribution, redraws, and adds
+    it back — all in P-dimensional Gram space."""
+    w: jnp.ndarray      # (N, P)
 
 
 def effective_coeffs(state, X):
@@ -60,12 +76,16 @@ def compute_mu(data, state):
 
 
 def build_cache(data, state) -> SweepCache:
-    return SweepCache(mu=compute_mu(data, state))
+    return SweepCache(w=effective_coeffs(state, data.X))
 
 
-def refresh_mu(cache: SweepCache, data, state) -> SweepCache:
-    """Full recompute after a Z redraw (cheap: one matvec batch)."""
-    return cache.replace(mu=compute_mu(data, state))
+def rss_from_coeffs(data, w):
+    """sum_n ||y_n - B_n w_n||^2 via the Gram identity (per-n to limit
+    f32 cancellation; padded entries contribute zero through u/G/yy)."""
+    per_n = (data.yy
+             - 2.0 * jnp.einsum("np,np->n", w, data.u, **_EINSUM_KW)
+             + jnp.einsum("np,npq,nq->n", w, data.G, w, **_EINSUM_KW))
+    return jnp.sum(per_n)
 
 
 def feature_offsets(state, X):

@@ -75,6 +75,8 @@ def shard_data(data, mesh: Mesh):
         X=jax.device_put(data.X, spec("X")),
         G=jax.device_put(data.G, spec("G")),
         pen=jax.device_put(data.pen, spec("pen")),
+        u=jax.device_put(data.u, spec("u")),
+        yy=jax.device_put(data.yy, spec("yy")),
         identity_basis=data.identity_basis,
     )
 

@@ -39,12 +39,10 @@ def geometric_ladder(n_replicas: int, beta_min: float) -> jnp.ndarray:
 
 def _loglik_portion(state, data):
     """E(state): the tempered factor (calculatePZeta:46-47 at beta=1)."""
-    from bayesfmmm_tpu.ops.mean import build_cache
-    mu = build_cache(data, state).mu
-    r = data.y - mu
+    from bayesfmmm_tpu.ops.mean import effective_coeffs, rss_from_coeffs
+    rss = rss_from_coeffs(data, effective_coeffs(state, data.X))
     n = jnp.sum(data.mask)
-    return -0.5 * n * jnp.log(state.sigma2) \
-        - jnp.sum(r * r) / (2.0 * state.sigma2)
+    return -0.5 * n * jnp.log(state.sigma2) - rss / (2.0 * state.sigma2)
 
 
 class PTState(NamedTuple):

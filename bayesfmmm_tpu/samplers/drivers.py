@@ -71,12 +71,10 @@ def tempered_excursion(key, state, data, hp, c, ladder, *, covariate_mean,
         covariate_cov=covariate_cov)
 
     def pz_unit(st):
-        from bayesfmmm_tpu.ops.mean import build_cache
-        mu = build_cache(data, st).mu
-        r = data.y - mu
+        from bayesfmmm_tpu.ops.mean import effective_coeffs, rss_from_coeffs
+        rss = rss_from_coeffs(data, effective_coeffs(st, data.X))
         n = jnp.sum(data.mask)
-        return -0.5 * n * jnp.log(st.sigma2) \
-            - jnp.sum(r * r) / (2.0 * st.sigma2)
+        return -0.5 * n * jnp.log(st.sigma2) - rss / (2.0 * st.sigma2)
 
     def weight_for_state(s):
         """Delta-beta multiplying pz_unit of state index s (0..2N_t)."""

@@ -27,12 +27,11 @@ from bayesfmmm_tpu.ops import gibbs
 
 
 def _loglik(state, data):
-    from bayesfmmm_tpu.ops.mean import build_cache
-    mu = build_cache(data, state).mu
-    r = data.y - mu
+    from bayesfmmm_tpu.ops.mean import effective_coeffs, rss_from_coeffs
+    rss = rss_from_coeffs(data, effective_coeffs(state, data.X))
     n = jnp.sum(data.mask)
     return -0.5 * n * (jnp.log(2 * jnp.pi) + jnp.log(state.sigma2)) \
-        - jnp.sum(r * r) / (2.0 * state.sigma2)
+        - rss / (2.0 * state.sigma2)
 
 
 def systematic_resample(key, log_weights):
