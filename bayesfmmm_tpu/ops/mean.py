@@ -24,13 +24,15 @@ sufficient statistics u_n = B_n'y_n, G_n = B_n'B_n, yy_n = ||y_n||^2
 (models/state.py) these are
 
     B_n' r_n   = u_n − G_n w_n,
-    ||r_n||^2  = yy_n − 2 u_n·w_n + w_n'G_n w_n,
 
 so the sweep maintains only the P-vector w_n per observation and NO (N, L)
-tensor appears in the hot loop at all — an L/P-fold cut in HBM traffic
+tensor appears in the blocked hot loops — an L/P-fold cut in HBM traffic
 (the reference recomputes length-n_i residuals in every scalar loop,
-UpdateNu.h:42-63).  mu itself is materialized only at trace/likelihood
-time via compute_mu.
+UpdateNu.h:42-63).  The *squared* residual norm is the exception: the Gram
+identity yy − 2u·w + w'Gw cancels catastrophically in f32, so RSS-type
+quantities (sigma2 draws, loglik, MH quadratics) materialize the length-L
+residual once per call (rss_from_coeffs / rss_rows_from_coeffs) — linear
+terms stay in Gram space, squared norms go through the residual.
 """
 
 from __future__ import annotations
@@ -80,12 +82,33 @@ def build_cache(data, state) -> SweepCache:
 
 
 def rss_from_coeffs(data, w):
-    """sum_n ||y_n - B_n w_n||^2 via the Gram identity (per-n to limit
-    f32 cancellation; padded entries contribute zero through u/G/yy)."""
-    per_n = (data.yy
-             - 2.0 * jnp.einsum("np,np->n", w, data.u, **_EINSUM_KW)
-             + jnp.einsum("np,npq,nq->n", w, data.G, w, **_EINSUM_KW))
-    return jnp.sum(per_n)
+    """sum_n ||y_n - B_n w_n||^2, evaluated in residual space.
+
+    The Gram identity yy - 2 u.w + w'Gw cancels catastrophically in f32
+    (error ~ eps*||y_n||^2, can go negative on high-SNR data), corrupting
+    sigma2 draws, loglik traces, SMC weights and PT/TT acceptance; the
+    residual form is exact to rounding of one matvec.  B rows and y are
+    pre-zeroed at padded points so no mask is needed.  Cost O(N*L*P) once
+    per call — outside the blocked kernels, which stay in Gram space."""
+    if getattr(data, "identity_basis", False):
+        r = data.y - w
+        return jnp.sum(r * r)
+    from bayesfmmm_tpu.ops import pallas_kernels
+    if pallas_kernels.use_pallas():
+        _, rss = pallas_kernels.fused_mean_rss(data.B, w, data.y)
+        return rss
+    r = data.y - jnp.einsum("nlp,np->nl", data.B, w, **_EINSUM_KW)
+    return jnp.sum(r * r)
+
+
+def rss_rows_from_coeffs(data, w):
+    """Per-observation ||y_n - B_n w_n||^2 (residual space; see
+    rss_from_coeffs for why not the Gram identity)."""
+    if getattr(data, "identity_basis", False):
+        r = data.y - w
+    else:
+        r = data.y - jnp.einsum("nlp,np->nl", data.B, w, **_EINSUM_KW)
+    return jnp.sum(r * r, axis=1)
 
 
 def feature_offsets(state, X):

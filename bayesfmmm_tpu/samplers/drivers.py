@@ -40,13 +40,20 @@ def _collect(state):
 
 
 def make_temperature_ladder(beta_N_t: float, N_t: int) -> jnp.ndarray:
-    """Geometric ladder beta_i = beta_N_t^(i/N_t) (BFMMM.h:1451-1460).
+    """Geometric temperature ladder, reference-exact (BFMMM.h:661-670).
 
-    The array holds [beta^(1/N_t), ..., beta^(N_t/N_t)]; the excursion's
-    temp_ind starts at 0 (hottest-used = closest to 1) and peaks at N_t-1.
+    The reference builds ones(N_t), pre-sets the last entry to beta_N_t,
+    then overwrites entries 1..N_t-1 with cumulative powers of
+    g = beta_N_t^(1/N_t) — so the ladder actually used is
+    [1, g, g^2, ..., g^(N_t-1)] for N_t > 1, and [beta_N_t] for N_t == 1
+    (only then does the pre-set survive).  The excursion's temp_ind walks
+    0..N_t-1..0 over this array; the first/last rung sweeps therefore run
+    at beta = 1 (untempered) for N_t > 1, exactly as the reference does.
     """
-    i = jnp.arange(1, N_t + 1, dtype=jnp.float32)
-    return beta_N_t ** (i / N_t)
+    if N_t == 1:
+        return jnp.asarray([beta_N_t], dtype=jnp.float32)
+    g = beta_N_t ** (1.0 / N_t)
+    return g ** jnp.arange(N_t, dtype=jnp.float32)
 
 
 def tempered_excursion(key, state, data, hp, c, ladder, *, covariate_mean,
@@ -104,7 +111,7 @@ def tempered_excursion(key, state, data, hp, c, ladder, *, covariate_mean,
     accept = logu < logA
     new_state = jax.tree.map(
         lambda a, b: jnp.where(accept, a, b), state_end, state)
-    return new_state, accept
+    return new_state, accept, logA
 
 
 def run_chain(key, state, data, hp, c, *, sweep, n_iters, thin=1,
@@ -123,7 +130,7 @@ def run_chain(key, state, data, hp, c, *, sweep, n_iters, thin=1,
         k, ks = jax.random.split(k)
         if use_tt:
             def do_tt(st):
-                s2, _ = tempered_excursion(
+                s2, _, _ = tempered_excursion(
                     ks, st, data, hp, c, ladder,
                     covariate_mean=covariate_mean,
                     covariate_cov=covariate_cov)

@@ -258,6 +258,11 @@ def run_nuts(key, log_joint, init_positions, *, n_warmup=500, n_samples=500,
     init_positions: pytree batch (leading chains axis).
     Returns (positions_trace pytree (chains, n_samples, ...), diagnostics).
     """
+    if n_warmup < 4:
+        raise ValueError("'n_warmup' must be an integer >= 4 (two adaptation "
+                         "phases need at least 2 steps each)")
+    n_warm1 = n_warmup // 2
+    n_warm2 = n_warmup - n_warm1
     flat0, unravel = ravel_pytree(
         jax.tree.map(lambda x: x[0], init_positions))
     n_chains = jax.tree.leaves(init_positions)[0].shape[0]
@@ -290,7 +295,7 @@ def run_nuts(key, log_joint, init_positions, *, n_warmup=500, n_samples=500,
             ad = ad._replace(mean=mean, m2=m2, count=cnt)
             return (st, ad), info["accept_p"]
 
-        keys1 = jax.random.split(key, n_warmup // 2)
+        keys1 = jax.random.split(key, n_warm1)
         (st, ad), _ = jax.lax.scan(warm1, (st, ad), keys1)
 
         var = ad.m2 / jnp.maximum(ad.count - 1.0, 1.0)
@@ -307,7 +312,7 @@ def run_nuts(key, log_joint, init_positions, *, n_warmup=500, n_samples=500,
                                   mu=mu2)
             return (st, ad), info["accept_p"]
 
-        keys2 = jax.random.split(jax.random.fold_in(key, 1), n_warmup // 2)
+        keys2 = jax.random.split(jax.random.fold_in(key, 1), n_warm2)
         (st, ad2), aps2 = jax.lax.scan(warm2, (st, ad2), keys2)
         eps_final = jnp.exp(ad2.log_eps_avg)
 

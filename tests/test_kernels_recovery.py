@@ -189,3 +189,26 @@ def test_pi_alpha3_mh_moves():
     # pi posterior should track the mean membership of Z (truth Z ~ Dir(1))
     np.testing.assert_allclose(pis[-100:].mean(axis=0),
                                np.asarray(truth.Z).mean(axis=0), atol=0.15)
+
+
+def test_phi_recovery_sequential_fallback(func_data, monkeypatch):
+    """The sequential blocked path (used above _JOINT_MAX_DIM) must target
+    the same conditional as the joint draw."""
+    monkeypatch.setattr(gibbs, "_JOINT_MAX_DIM", 0)
+    data, truth = func_data
+    draws = _run_kernel(
+        lambda k, st, cache: gibbs.update_phi(k, st, data, HP, cache),
+        truth, data, extract=lambda st: st.Phi)
+    med = np.median(draws, axis=0)
+    np.testing.assert_allclose(med, np.asarray(truth.Phi), atol=0.3)
+
+
+def test_xi_recovery_sequential_fallback(monkeypatch):
+    monkeypatch.setattr(gibbs, "_JOINT_MAX_DIM", 0)
+    data, truth = simulate_functional(seed=4, N=60, K=2, P=8, M=2, D=1,
+                                      with_eta=True, with_xi=True)
+    draws = _run_kernel(
+        lambda k, st, cache: gibbs.update_xi(k, st, data, HP, cache),
+        truth, data, extract=lambda st: st.xi)
+    med = np.median(draws, axis=0)
+    np.testing.assert_allclose(med, np.asarray(truth.xi), atol=0.35)
