@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bayesfmmm_tpu import validation
 from bayesfmmm_tpu.config import ModelConfig, Priors
 from bayesfmmm_tpu.models.state import (
     init_state,
@@ -42,8 +43,20 @@ class FitResult:
         self.final_state = final_state
         self.chain_index = chain_index
 
-    def estimates(self, burnin_prop=0.8):
-        return drivers.posterior_median_state(self.traces, burnin_prop)
+    def estimates(self, burnin_prop=0.8, align=False):
+        """Per-element posterior medians (UserFunctions.cpp:1557-1650).
+
+        align=True first permutation-aligns every draw to the final draw's
+        Z (post/label_switch.py) — recommended for K > 2, where the
+        reference's K=2-only "rescale" identifiability transform is
+        unavailable and label switching would corrupt element-wise medians.
+        """
+        traces = self.traces
+        if align:
+            from bayesfmmm_tpu.post.label_switch import align_trace
+            traces = align_trace({k: np.asarray(v)
+                                  for k, v in traces.items()})
+        return drivers.posterior_median_state(traces, burnin_prop)
 
 
 def build_data(Y, time=None, *, family="functional", basis_degree=3,
@@ -52,40 +65,32 @@ def build_data(Y, time=None, *, family="functional", basis_degree=3,
     """Construct the padded device data container for any model family."""
     dtype = dtype or jnp.float32
     if family == "functional":
-        _validate_knots(internal_knots, boundary_knots, basis_degree)
+        if Y is None or len(Y) < 1:
+            raise ValueError("'n_funct' must be an integer greater than or "
+                             "equal to 1")
+        validation.validate_fit_args(basis_degree=basis_degree)
+        validation.validate_knots(internal_knots, boundary_knots)
         return make_functional_data(Y, time, basis_degree=basis_degree,
                                     internal_knots=internal_knots,
                                     boundary_knots=boundary_knots, X=X,
                                     dtype=dtype)
     if family == "hd":
+        if Y is None or len(Y) < 1:
+            raise ValueError("'n_funct' must be an integer greater than or "
+                             "equal to 1")
+        validation.validate_hd_knots(basis_degrees, internal_knots_list,
+                                     boundary_knots)
         return make_hd_functional_data(Y, time, basis_degrees=basis_degrees,
                                        internal_knots_list=internal_knots_list,
                                        boundary_knots=boundary_knots, X=X,
                                        dtype=dtype)
     if family == "multivariate":
-        return make_multivariate_data(np.asarray(Y), X=X, dtype=dtype)
+        Y = np.asarray(Y)
+        if Y.ndim != 2 or Y.shape[0] < 1:
+            raise ValueError("'Y' must be a matrix with at least one row "
+                             "for the multivariate family")
+        return make_multivariate_data(Y, X=X, dtype=dtype)
     raise ValueError(f"unknown family {family!r}")
-
-
-def _validate_knots(internal_knots, boundary_knots, basis_degree):
-    """Reference validation (UserFunctions.cpp:221-236)."""
-    if basis_degree < 1:
-        raise ValueError("'basis_degree' must be an integer greater than or "
-                         "equal to 1")
-    bk = np.asarray(boundary_knots, dtype=float)
-    for kn in np.asarray(internal_knots, dtype=float).ravel():
-        if bk[0] >= kn:
-            raise ValueError("at least one element in 'internal_knots' is "
-                             "less than or equal to first boundary knot")
-        if bk[1] <= kn:
-            raise ValueError("at least one element in 'internal_knots' is "
-                             "more than or equal to second boundary knot")
-
-
-def _validate_iters(tot_mcmc_iters):
-    if tot_mcmc_iters < 100:
-        raise ValueError("'tot_mcmc_iters' must be an integer greater than "
-                         "or equal to 100")
 
 
 def _run_restarts(key, data, cfg, hp, c, phase_fn, n_chains, n_iters,
@@ -139,10 +144,10 @@ def fit_nu_z(Y=None, time=None, *, data=None, K, tot_mcmc_iters=1000,
     Mirrors BFMMM_Nu_Z_multiple_try (UserFunctions.cpp:166) and the MV/HD
     variants; covariate adjustment activates when X is given.
     """
-    _validate_iters(tot_mcmc_iters)
-    if K < 2:
-        raise ValueError("'K' must be an integer greater than or equal to 2")
+    validation.validate_fit_args(tot_mcmc_iters=tot_mcmc_iters, n_try=n_try,
+                                 K=K, n_eigen=M)
     hp = (priors or Priors()).validate()
+    validation.validate_c(hp.c_vector(K), K)
     if data is None:
         data = build_data(Y, time, family=family, basis_degree=basis_degree,
                           internal_knots=internal_knots,
@@ -150,7 +155,7 @@ def fit_nu_z(Y=None, time=None, *, data=None, K, tot_mcmc_iters=1000,
                           basis_degrees=basis_degrees,
                           internal_knots_list=internal_knots_list)
     cfg = ModelConfig(K=K, P=int(data.P), M=M, D=int(data.D),
-                      family=family,
+                      family=data.family,
                       covariate_mean=data.D > 0, covariate_cov=False)
     c_vec = jnp.asarray(hp.c_vector(K), dtype=data.y.dtype)
     covm = data.D > 0
@@ -176,7 +181,9 @@ def fit_theta(nu_z_result: FitResult, *, tot_mcmc_iters=1000, n_try=1,
     Mirrors BFMMM_Theta_est (UserFunctions.cpp:684): point estimates are
     per-element posterior medians of the phase-1 chain with Z re-normalized.
     """
-    _validate_iters(tot_mcmc_iters)
+    validation.validate_fit_args(tot_mcmc_iters=tot_mcmc_iters, n_try=n_try,
+                                 burnin_prop=burnin_prop,
+                                 n_eigen=M if M is not None else None)
     hp = (priors or Priors()).validate()
     data = nu_z_result.data
     cfg = nu_z_result.config
@@ -218,7 +225,12 @@ def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
     excursions run every n_temp_trans iterations; traces optionally export
     to `directory` using the reference's file contract.
     """
-    _validate_iters(tot_mcmc_iters)
+    validation.validate_fit_args(tot_mcmc_iters=tot_mcmc_iters,
+                                 burnin_prop=burnin_prop)
+    validation.validate_warm_start_args(
+        thinning_num=thinning_num, beta_N_t=beta_N_t, N_t=N_t,
+        r_stored_iters=r_stored_iters, n_temp_trans=n_temp_trans,
+        tot_mcmc_iters=tot_mcmc_iters, directory=directory)
     hp = (priors or Priors()).validate()
     data = theta_result.data
     cfg = theta_result.config
@@ -347,11 +359,13 @@ def fit_hmc(data, *, K, M, covariate_cov=False, n_warmup=500, n_samples=500,
     from bayesfmmm_tpu.models.likelihood import log_likelihood
     from bayesfmmm_tpu.samplers import hmc as hmc_mod
 
+    validation.validate_fit_args(K=K, n_eigen=M)
     hp = (priors or Priors()).validate()
+    validation.validate_c(hp.c_vector(K), K)
     covm = data.D > 0
     covc = covariate_cov and data.D > 0
     cfg = ModelConfig(K=K, P=int(data.P), M=M, D=int(data.D),
-                      family="functional", covariate_mean=covm,
+                      family=data.family, covariate_mean=covm,
                       covariate_cov=covc)
     c_vec = jnp.asarray(hp.c_vector(K), dtype=data.y.dtype)
     key = jax.random.PRNGKey(seed)
@@ -425,11 +439,16 @@ def fit_advi_init(data, *, K, M, covariate_cov=False, warm_iters=2000,
     from bayesfmmm_tpu.models import logjoint
     from bayesfmmm_tpu.samplers import advi as advi_mod
 
+    validation.validate_fit_args(tot_mcmc_iters=warm_iters, K=K, n_eigen=M)
+    validation.validate_warm_start_args(
+        thinning_num=thinning_num, beta_N_t=beta_N_t, N_t=N_t,
+        n_temp_trans=n_temp_trans)
     hp = (priors or Priors()).validate()
+    validation.validate_c(hp.c_vector(K), K)
     covm = data.D > 0
     covc = covariate_cov and data.D > 0
     cfg = ModelConfig(K=K, P=int(data.P), M=M, D=int(data.D),
-                      family="functional" if data.D >= 0 else "functional",
+                      family=data.family,
                       covariate_mean=covm, covariate_cov=covc)
     c_vec = jnp.asarray(hp.c_vector(K), dtype=data.y.dtype)
     key = jax.random.PRNGKey(seed)

@@ -45,7 +45,11 @@ class Priors:
             return np.full(K, 10.0)
         c = np.asarray(self.c, dtype=float)
         if c.shape != (K,):
-            raise ValueError(f"c must have length K={K}, got {c.shape}")
+            # reference message (UserFunctions.cpp:281-283)
+            raise ValueError("number of elements of the vector 'c' must be "
+                             "equal to K")
+        if np.any(c <= 0):
+            raise ValueError("all elements of 'c' must be positive")
         return c
 
     def validate(self) -> "Priors":

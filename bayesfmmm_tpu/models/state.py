@@ -46,6 +46,11 @@ class ModelData:
     u: jax.Array          # (N, P) basis-projected data  B_i' y_i
     yy: jax.Array         # (N,)   squared data norms  ||y_i||^2
     identity_basis: bool = struct.field(pytree_node=False, default=False)
+    # Model family carried with the data so every fitting path (Gibbs, HMC,
+    # ADVI) builds the right ModelConfig without the caller restating it —
+    # in particular the multivariate tau reciprocal at trace export
+    # (UpdateTau.h:47-63) keys off this.
+    family: str = struct.field(pytree_node=False, default="functional")
 
     @property
     def N(self):
@@ -128,7 +133,7 @@ def make_functional_data(y_list, t_list, *, basis_degree, internal_knots,
             np.asarray(ti).ravel(), int(basis_degree),
             np.asarray(internal_knots), np.asarray(boundary_knots))
     pen = basis_mod.rw1_penalty(P)
-    return _finalize_data(y, mask, B, X, pen, dtype)
+    return _finalize_data(y, mask, B, X, pen, dtype, family="functional")
 
 
 def make_hd_functional_data(y_list, t_list, *, basis_degrees, internal_knots_list,
@@ -154,7 +159,7 @@ def make_hd_functional_data(y_list, t_list, *, basis_degrees, internal_knots_lis
         mask[i, :ni] = 1.0
         B[i, :ni] = Bi
     pen = basis_mod.tensor_penalty(basis_degrees, internal_knots_list)
-    return _finalize_data(y, mask, B, X, pen, dtype)
+    return _finalize_data(y, mask, B, X, pen, dtype, family="hd")
 
 
 def make_multivariate_data(y, X=None, dtype=jnp.float32) -> ModelData:
@@ -169,10 +174,12 @@ def make_multivariate_data(y, X=None, dtype=jnp.float32) -> ModelData:
     mask = np.ones((N, P))
     B = np.broadcast_to(np.eye(P), (N, P, P)).copy()
     pen = np.eye(P)
-    return _finalize_data(y, mask, B, X, pen, dtype, identity_basis=True)
+    return _finalize_data(y, mask, B, X, pen, dtype, identity_basis=True,
+                          family="multivariate")
 
 
-def _finalize_data(y, mask, B, X, pen, dtype, identity_basis=False) -> ModelData:
+def _finalize_data(y, mask, B, X, pen, dtype, identity_basis=False,
+                   family="functional") -> ModelData:
     N = y.shape[0]
     if X is None:
         X = np.zeros((N, 0))
@@ -198,6 +205,7 @@ def _finalize_data(y, mask, B, X, pen, dtype, identity_basis=False) -> ModelData
         u=jnp.asarray(u, dtype=dtype),
         yy=jnp.asarray(yy, dtype=dtype),
         identity_basis=identity_basis,
+        family=family,
     )
 
 

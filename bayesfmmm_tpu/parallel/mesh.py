@@ -78,6 +78,7 @@ def shard_data(data, mesh: Mesh):
         u=jax.device_put(data.u, spec("u")),
         yy=jax.device_put(data.yy, spec("yy")),
         identity_basis=data.identity_basis,
+        family=data.family,
     )
 
 

@@ -62,7 +62,12 @@ def apply_transforms(param_samp: np.ndarray, T: np.ndarray) -> np.ndarray:
 def _resolve_transform(nu_or_phi, Z_samp, rescale, trans_mats):
     K = nu_or_phi.shape[1]
     if rescale and K > 2:
-        # PostProcessing.cpp:165-169: rescale property only for K = 2
+        # PostProcessing.cpp:165-169: rescale property only for K = 2; the
+        # reference prints a console notice — warn rather than silently
+        # disable.
+        import warnings
+        warnings.warn("Rescale property cannot be used for K > 2",
+                      UserWarning, stacklevel=3)
         rescale = False
     if rescale:
         if Z_samp is None:

@@ -13,6 +13,7 @@ import numpy as np
 from bayesfmmm_tpu.models.state import (
     GibbsState,
     make_functional_data,
+    make_hd_functional_data,
     make_multivariate_data,
 )
 
@@ -92,6 +93,45 @@ def simulate_functional(seed=1, *, N=40, K=3, P=8, M=2, D=0, n_time=(80, 100),
     data = make_functional_data(y_list, t_list, basis_degree=degree,
                                 internal_knots=internal,
                                 boundary_knots=boundary, X=X, dtype=dtype)
+    return data, truth
+
+
+def simulate_hd_functional(seed=1, *, N=20, K=2, M=2, D=0, n_points=(40, 50),
+                           sigma2=0.01, nu_scale=3.0, phi_scale=0.5,
+                           basis_degrees=(2, 2), n_internal=(1, 1),
+                           with_eta=False, with_xi=False, dtype=None):
+    """Simulate surface (2-D domain) MM data with a tensor B-spline basis.
+
+    Reference family: BHDFMMM (BFMMM.h:2892; basis via TensorBSpline
+    BSplines.h:18-62, penalty via GetP BSplines.h:70-120).  Each surface i
+    is observed at n_i random points in [0,1]^2.
+    """
+    import jax.numpy as jnp
+    dtype = dtype or jnp.float32
+    rng = np.random.default_rng(seed)
+    dim = len(basis_degrees)
+    internal = [np.linspace(0, 1, n + 2)[1:-1] for n in n_internal]
+    boundary = np.tile(np.array([0.0, 1.0]), (dim, 1))
+    t_list = [rng.uniform(0, 1, (int(rng.integers(n_points[0],
+                                                  n_points[1] + 1)), dim))
+              for _ in range(N)]
+    X = rng.normal(size=(N, D)) if D else None
+    data0 = make_hd_functional_data(
+        [np.zeros(t.shape[0]) for t in t_list], t_list,
+        basis_degrees=basis_degrees, internal_knots_list=internal,
+        boundary_knots=boundary, X=X, dtype=dtype)
+    P = int(data0.P)
+    truth = _truth_state(rng, N, K, P, M, D, dtype, nu_scale=nu_scale,
+                         phi_scale=phi_scale, sigma2=sigma2,
+                         with_eta=with_eta, with_xi=with_xi)
+    mu = _numpy_mu(data0, truth)
+    mask = np.asarray(data0.mask)
+    y = mu + np.sqrt(sigma2) * rng.normal(size=mu.shape) * mask
+    y_list = [y[i][mask[i] > 0] for i in range(N)]
+    data = make_hd_functional_data(
+        y_list, t_list, basis_degrees=basis_degrees,
+        internal_knots_list=internal, boundary_knots=boundary, X=X,
+        dtype=dtype)
     return data, truth
 
 

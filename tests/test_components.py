@@ -37,7 +37,7 @@ def test_hd_family_end_to_end():
     np.testing.assert_allclose(
         np.asarray(data.pen) @ np.ones(16), 0.0, atol=1e-5)
     r1 = api.fit_nu_z(data=data, K=2, M=2, family="hd", tot_mcmc_iters=100,
-                      n_try=0)
+                      n_try=1)
     r2 = api.fit_theta(r1, tot_mcmc_iters=100)
     r3 = api.fit_warm_start(r1, r2, tot_mcmc_iters=100)
     assert np.isfinite(np.asarray(r3.loglik)).all()
@@ -138,3 +138,22 @@ def test_observability():
     bad = truth.replace(nu=nu_bad)
     with pytest.raises(FloatingPointError):
         observability.assert_finite_state(bad)
+
+
+def test_label_switch_trace_vectorized_k3():
+    """align_trace is vectorized over draws (round-1: O(draws*K!) Python
+    loop); K=3 with per-draw random permutations must be fully unwound."""
+    rng = np.random.default_rng(7)
+    n_draws, N, K, P = 200, 15, 3, 4
+    Z = rng.dirichlet(np.ones(K), size=(1, N)).repeat(n_draws, axis=0)
+    nu = rng.normal(size=(1, K, P)).repeat(n_draws, axis=0)
+    Phi = rng.normal(size=(1, K, P, 2)).repeat(n_draws, axis=0)
+    perms = np.stack([rng.permutation(K) for _ in range(n_draws)])
+    Z_sw = np.take_along_axis(Z, perms[:, None, :], axis=2)
+    nu_sw = np.take_along_axis(nu, perms[:, :, None], axis=1)
+    Phi_sw = np.take_along_axis(Phi, perms[:, :, None, None], axis=1)
+    aligned = label_switch.align_trace(
+        {"Z": Z_sw, "nu": nu_sw, "Phi": Phi_sw}, Z_ref=Z[0], block=64)
+    np.testing.assert_allclose(aligned["Z"], Z, atol=1e-12)
+    np.testing.assert_allclose(aligned["nu"], nu, atol=1e-12)
+    np.testing.assert_allclose(aligned["Phi"], Phi, atol=1e-12)

@@ -34,7 +34,7 @@ def test_functional_pipeline(tmp_path):
 def test_multivariate_pipeline():
     data, truth = simulate_multivariate(seed=22, N=100, K=2, P=5, M=2)
     r1 = api.fit_nu_z(data=data, K=2, M=2, family="multivariate",
-                      tot_mcmc_iters=120, n_try=0)
+                      tot_mcmc_iters=120, n_try=1)
     r2 = api.fit_theta(r1, tot_mcmc_iters=120, n_try=1)
     r3 = api.fit_warm_start(r1, r2, tot_mcmc_iters=120)
     assert np.isfinite(np.asarray(r3.loglik)).all()
@@ -69,7 +69,7 @@ def test_multivariate_warm_from_truth_stationary():
 def test_covariate_adjusted_pipeline():
     data, truth = simulate_functional(seed=23, N=30, K=2, P=6, M=2, D=1,
                                       with_eta=True, n_time=(25, 30))
-    r1 = api.fit_nu_z(data=data, K=2, M=2, tot_mcmc_iters=120, n_try=0)
+    r1 = api.fit_nu_z(data=data, K=2, M=2, tot_mcmc_iters=120, n_try=1)
     assert r1.config.covariate_mean
     r2 = api.fit_theta(r1, tot_mcmc_iters=120, covariate_cov=True)
     assert r2.config.covariate_cov
@@ -96,7 +96,7 @@ def test_validation_errors():
 def test_tempered_transitions_pipeline():
     data, truth = simulate_functional(seed=25, N=20, K=2, P=5, M=2,
                                       n_time=(20, 25))
-    r1 = api.fit_nu_z(data=data, K=2, M=2, tot_mcmc_iters=100, n_try=0)
+    r1 = api.fit_nu_z(data=data, K=2, M=2, tot_mcmc_iters=100, n_try=1)
     r2 = api.fit_theta(r1, tot_mcmc_iters=100)
     r3 = api.fit_warm_start(r1, r2, tot_mcmc_iters=120, n_temp_trans=40,
                             beta_N_t=0.5, N_t=2)
@@ -108,7 +108,7 @@ def test_spectral_init_beats_random_on_multimodal_mv():
     far better mode than random cold starts on the latent-heavy MV config."""
     data, truth = simulate_multivariate(seed=22, N=100, K=2, P=5, M=2)
     r1 = api.fit_nu_z(data=data, K=2, M=2, family="multivariate",
-                      tot_mcmc_iters=150, n_try=0, init="spectral")
+                      tot_mcmc_iters=150, n_try=1, init="spectral")
     r2 = api.fit_theta(r1, tot_mcmc_iters=150)
     r3 = api.fit_warm_start(r1, r2, tot_mcmc_iters=200)
     # random cold starts plateau near loglik -280 on this config; the
@@ -144,6 +144,6 @@ def test_reference_api_priors_plumbing():
     y_list = [np.sin(2 * np.pi * t) + 0.1 * rng.normal(size=t.shape)
               for t in t_list]
     res = ra.BFMMM_Nu_Z_multiple_try(
-        150, 0, 2, y_list, t_list, 10, 3, 2, [0.0, 1.0],
+        150, 1, 2, y_list, t_list, 10, 3, 2, [0.0, 1.0],
         np.linspace(0.25, 0.75, 2), b=5.0, alpha_nu=2.0)
     assert res.loglik.shape == (150,)

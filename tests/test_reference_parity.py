@@ -54,9 +54,9 @@ def test_sigma2_posterior_agrees(ref_setup, our_fit):
     ref_sig = summaries.sigma_ci(ref["Sigma"], burnin_prop=0.5)
     our_sig = summaries.sigma_ci(np.asarray(our_fit.traces["sigma2"]),
                                  burnin_prop=0.5)
-    # medians agree within a factor reflecting 75-draw MC error
+    # medians agree within +-30% (round-2 tightening from (0.5, 2.0))
     ratio = our_sig["CI_50"] / ref_sig["CI_50"]
-    assert 0.5 < ratio < 2.0, (our_sig["CI_50"], ref_sig["CI_50"])
+    assert 0.7 < ratio < 1.43, (our_sig["CI_50"], ref_sig["CI_50"])
 
 
 def test_mean_curves_agree(ref_setup, our_fit):
@@ -83,8 +83,9 @@ def test_mean_curves_agree(ref_setup, our_fit):
             tot += np.mean(d / (w + 0.05))
         return tot / 2
     best = min(err((0, 1)), err((1, 0)))
-    # mean discrepancy below ~1.5 combined half-widths on average
-    assert best < 1.5, best
+    # mean discrepancy below 1.0 combined half-widths on average
+    # (round-2 tightening from 1.5)
+    assert best < 1.0, best
 
 
 def test_fitted_curves_agree_pointwise(ref_setup, our_fit):
@@ -180,3 +181,84 @@ def test_hd_fixture_postprocessing():
                      np.array([[0., 990.], [0., 990.]]),
                      [np.array([250., 500., 750.])] * 2, k=1, l=1)
     assert cov["CI_50"].shape == (15, 15)
+
+
+# ---------------------------------------------------------------------------
+# MV / HD fitting parity (round-1 VERDICT #5: only the functional fixture
+# was *fitted*; MV/HD were merely post-processed)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mv_fit():
+    d = os.path.join(REF, "Multivariate_trace")
+    if not os.path.isdir(d):
+        pytest.skip("reference fixtures not mounted")
+    Y = np.asarray(read_rds(os.path.join(REF, "MVSim_data.RDS")))
+    data = api.build_data(Y, family="multivariate")
+    ref = armaio.load_trace_dir(d, names=["Nu", "Z", "Sigma", "Phi", "Chi"])
+    res = api.fit(data=data, K=2, M=2, nu_z_iters=400, theta_iters=400,
+                  warm_iters=800, n_try=1, seed=7)
+    return data, ref, res
+
+
+def test_mv_fitting_parity_sigma(mv_fit):
+    _, ref, res = mv_fit
+    ref_med = np.median(ref["Sigma"][-75:])
+    our_med = np.median(np.asarray(res.traces["sigma2"])[-400:])
+    ratio = our_med / ref_med
+    assert 0.7 < ratio < 1.43, (our_med, ref_med)
+
+
+def test_mv_fitting_parity_fitted_means(mv_fit):
+    """Per-observation fitted means (the identifiable quantity) agree with
+    the reference's shipped Multivariate_trace."""
+    data, ref, res = mv_fit
+    from bayesfmmm_tpu.post.model_selection import _means_all_draws
+    ref_tr = {"Z": ref["Z"][-75:], "nu": ref["Nu"][-75:],
+              "Phi": ref["Phi"][-75:], "chi": ref["Chi"][-75:]}
+    ours = {k: np.asarray(v)[-400:] for k, v in res.traces.items()}
+    mu_ref = _means_all_draws(ref_tr, data).mean(axis=0)
+    mu_our = _means_all_draws(ours, data).mean(axis=0)
+    rms = np.sqrt(np.mean((mu_ref - mu_our) ** 2))
+    scale = np.std(np.asarray(data.y))
+    assert rms < 0.15 * scale, (rms, scale)
+
+
+@pytest.fixture(scope="module")
+def hd_fit():
+    d = os.path.join(REF, "HDFunctional_trace")
+    if not os.path.isdir(d):
+        pytest.skip("reference fixtures not mounted")
+    Y = read_rds(os.path.join(REF, "HDSim_data.RDS"))
+    T = read_rds(os.path.join(REF, "HDtime.RDS"))
+    data = api.build_data(
+        [np.asarray(y).ravel() for y in Y], [np.asarray(t) for t in T],
+        family="hd", basis_degrees=[2, 2],
+        internal_knots_list=[np.array([250., 500., 750.])] * 2,
+        boundary_knots=np.array([[0., 990.], [0., 990.]]))
+    ref = armaio.load_trace_dir(d, names=["Nu", "Z", "Sigma", "Phi", "Chi"])
+    res = api.fit(data=data, K=2, M=2, nu_z_iters=400, theta_iters=400,
+                  warm_iters=800, n_try=1, seed=9)
+    return data, ref, res
+
+
+def test_hd_fitting_parity_sigma(hd_fit):
+    _, ref, res = hd_fit
+    ref_med = np.median(ref["Sigma"][-75:])
+    our_med = np.median(np.asarray(res.traces["sigma2"])[-400:])
+    ratio = our_med / ref_med
+    assert 0.7 < ratio < 1.43, (our_med, ref_med)
+
+
+def test_hd_fitting_parity_fitted_means(hd_fit):
+    data, ref, res = hd_fit
+    from bayesfmmm_tpu.post.model_selection import _means_all_draws
+    ref_tr = {"Z": ref["Z"][-75:], "nu": ref["Nu"][-75:],
+              "Phi": ref["Phi"][-75:], "chi": ref["Chi"][-75:]}
+    ours = {k: np.asarray(v)[-400:] for k, v in res.traces.items()}
+    mu_ref = _means_all_draws(ref_tr, data).mean(axis=0)
+    mu_our = _means_all_draws(ours, data).mean(axis=0)
+    mask = np.asarray(data.mask) > 0
+    rms = np.sqrt(np.mean((mu_ref - mu_our)[mask] ** 2))
+    scale = np.std(np.asarray(data.y)[mask])
+    assert rms < 0.15 * scale, (rms, scale)
