@@ -34,29 +34,46 @@ def align_draw(Z: np.ndarray, Z_ref: np.ndarray, perms=None):
     return perms[best], float(dists[best])
 
 
-def align_trace(traces: dict, Z_ref: np.ndarray | None = None) -> dict:
+_FEATURE_LEADING = {"nu", "tau", "Phi", "gamma", "delta", "A", "eta",
+                    "tau_eta", "xi", "gamma_xi", "delta_xi", "A_xi", "pi"}
+
+
+def align_trace(traces: dict, Z_ref: np.ndarray | None = None,
+                block: int = 512) -> dict:
     """Permutation-align every draw of a trace dict to a reference Z.
 
     Applies the per-draw best permutation to all feature-indexed arrays
     (Z columns; nu/Phi/gamma/delta/A/eta/... leading feature axis; pi).
     Default reference: the final draw's Z.
+
+    Fully vectorized over draws (the round-1 implementation looped draws in
+    Python at O(draws * K!)): per-draw distances for all K! permutations
+    are computed in draw blocks of ``block`` (bounding the (b, N, K!, K)
+    intermediate), and permutations are applied with one take_along_axis
+    per array.
     """
     Z_samp = np.asarray(traces["Z"])
     n_draws, N, K = Z_samp.shape
     Z_ref = Z_samp[-1] if Z_ref is None else np.asarray(Z_ref)
-    perms = _permutations(K)
-    out = {k: np.array(v, copy=True) for k, v in traces.items()}
-    feature_leading = {"nu", "tau", "Phi", "gamma", "delta", "A", "eta",
-                       "tau_eta", "xi", "gamma_xi", "delta_xi", "A_xi", "pi"}
-    for d in range(n_draws):
-        perm, _ = align_draw(Z_samp[d], Z_ref, perms)
-        if np.array_equal(perm, np.arange(K)):
-            continue
-        out["Z"][d] = out["Z"][d][:, perm]
-        if "chi" in out:
-            pass  # chi is feature-free
-        for name in feature_leading:
-            if name in out and out[name].ndim >= 2 \
-                    and out[name].shape[1] == K:
-                out[name][d] = out[name][d][perm]
+    perms = _permutations(K)                        # (K!, K)
+    best = np.empty(n_draws, dtype=int)
+    for s in range(0, n_draws, block):
+        zb = Z_samp[s:s + block]                    # (b, N, K)
+        cand = zb[:, :, perms]                      # (b, N, K!, K)
+        dists = np.abs(cand - Z_ref[None, :, None, :]).sum(axis=(1, 3))
+        best[s:s + block] = np.argmin(dists, axis=1)
+    perm_idx = perms[best]                          # (draws, K)
+    out = {}
+    for name, v in traces.items():
+        arr = np.asarray(v)
+        if name == "Z":
+            arr = np.take_along_axis(arr, perm_idx[:, None, :], axis=2)
+        elif name in _FEATURE_LEADING and arr.ndim >= 2 \
+                and arr.shape[1] == K:
+            idx = perm_idx.reshape(perm_idx.shape
+                                   + (1,) * (arr.ndim - 2))
+            arr = np.take_along_axis(arr, idx, axis=1)
+        else:
+            arr = np.array(arr, copy=True)
+        out[name] = arr
     return out

@@ -127,6 +127,18 @@ def resume_batched(directory, data, hp, c, *, additional_iters,
     q = 0
     while os.path.exists(os.path.join(directory, f"Nu{q}.txt")):
         q += 1
+    # Cross-check the directory's batch count against the checkpoint's
+    # stored iteration: a stale/mixed directory (files added or removed
+    # since the checkpoint) would silently splice two different
+    # trajectories' traces together.
+    if q * r_stored_iters != it:
+        raise ValueError(
+            f"trace directory holds {q} batches but the checkpoint was "
+            f"written at iteration {it} (expected "
+            f"{it // r_stored_iters if r_stored_iters else 0} batches of "
+            f"r_stored_iters={r_stored_iters}); the directory is stale or "
+            "was written with a different r_stored_iters — refusing to mix "
+            "trajectories")
     return run_batched(
         key, state, data, hp, c, directory=directory,
         tot_mcmc_iters=additional_iters, r_stored_iters=r_stored_iters,

@@ -166,3 +166,23 @@ def test_resume_batched(tmp_path):
     assert nb == 2
     back = armaio.load_trace_dir(str(tmp_path))
     assert back["Nu"].shape[0] == 200    # 4 batches x 50
+
+
+def test_resume_batched_refuses_stale_directory(tmp_path):
+    """A directory whose batch count disagrees with the checkpoint's stored
+    iteration must be refused, not silently spliced (round-1 VERDICT)."""
+    import pytest
+
+    from bayesfmmm_tpu.samplers.batched import resume_batched, run_batched
+    data, cfg = _small()
+    c = jnp.full((2,), 10.0)
+    state = init_state(jax.random.PRNGKey(25), cfg, data)
+    run_batched(jax.random.PRNGKey(26), state, data, HP, c,
+                directory=str(tmp_path), tot_mcmc_iters=100,
+                r_stored_iters=50, checkpoint_every=1)
+    # simulate a stale directory: an extra foreign batch appears
+    import shutil
+    shutil.copy(tmp_path / "Nu0.txt", tmp_path / "Nu2.txt")
+    with pytest.raises(ValueError, match="refusing to mix trajectories"):
+        resume_batched(str(tmp_path), data, HP, c,
+                       additional_iters=50, r_stored_iters=50)
