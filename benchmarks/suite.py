@@ -142,25 +142,28 @@ def run_config(idx, cfg):
     except Exception as e:                      # cost_analysis availability
         out["utilization"] = {"error": str(e)}
 
-    # CPU baseline only for the plain families the NumPy sampler covers
-    if not covm and not covc:
-        from numpy_baseline import NumpyGibbs
-        hp_np = dict(a_Z_PM=hp.a_Z_PM, alpha_nu=hp.alpha_nu,
-                     beta_nu=hp.beta_nu, alpha_0=hp.alpha_0,
-                     beta_0=hp.beta_0, nu_1=hp.nu_1)
-        base = NumpyGibbs(np.asarray(data.y), np.asarray(data.mask),
-                          np.asarray(data.B), np.asarray(data.pen),
-                          K, cfg["M"], hp_np)
-        s = base.init_state()
+    # CPU baseline: single-thread NumPy sampler (covers plain + covariate
+    # configs since round 2 — UpdateEta.h / UpdateXi.h equivalents)
+    from numpy_baseline import NumpyGibbs
+    hp_np = dict(a_Z_PM=hp.a_Z_PM, alpha_nu=hp.alpha_nu,
+                 beta_nu=hp.beta_nu, alpha_eta=hp.alpha_eta,
+                 beta_eta=hp.beta_eta, alpha_0=hp.alpha_0,
+                 beta_0=hp.beta_0, nu_1=hp.nu_1)
+    base = NumpyGibbs(np.asarray(data.y), np.asarray(data.mask),
+                      np.asarray(data.B), np.asarray(data.pen),
+                      K, cfg["M"], hp_np,
+                      X=(np.asarray(data.X) if (covm or covc) else None),
+                      with_eta=covm, with_xi=covc)
+    s = base.init_state()
+    base.sweep(s)
+    n_base = 10
+    t0 = time.time()
+    for _ in range(n_base):
         base.sweep(s)
-        n_base = 10
-        t0 = time.time()
-        for _ in range(n_base):
-            base.sweep(s)
-        base_rate = n_base / (time.time() - t0)
-        out["baseline_iters_per_sec"] = round(base_rate, 2)
-        out["speedup_vs_numpy_1thread"] = round(
-            out["iters_per_sec"] / base_rate, 1)
+    base_rate = n_base / (time.time() - t0)
+    out["baseline_iters_per_sec"] = round(base_rate, 2)
+    out["speedup_vs_numpy_1thread"] = round(
+        out["iters_per_sec"] / base_rate, 1)
     return out
 
 
