@@ -326,17 +326,42 @@ def export_traces(directory, traces, cfg, batch=0):
     armaio.save_trace_dir(directory, out, batch=batch)
 
 
+# extra fit() kwargs, routed to the phase that consumes them; anything not
+# listed raises immediately instead of being silently swallowed
+_FIT_PHASE1_KW = frozenset({"basis_degree", "internal_knots",
+                            "boundary_knots", "basis_degrees",
+                            "internal_knots_list", "init"})
+_FIT_PHASE2_KW = frozenset({"burnin_prop"})
+_FIT_PHASE3_KW = frozenset({"thinning_num", "n_temp_trans", "beta_N_t",
+                            "N_t", "n_chains", "r_stored_iters",
+                            "burnin_prop"})
+
+
 def fit(Y=None, time=None, *, K, M, data=None, X=None, family="functional",
         nu_z_iters=1000, theta_iters=1000, warm_iters=2000, n_try=1,
         covariate_cov=False, priors=None, directory=None, seed=0, **kw):
-    """Convenience wrapper running the full 3-phase pipeline."""
+    """Convenience wrapper running the full 3-phase pipeline.
+
+    Extra keyword arguments are routed to the phase that accepts them
+    (basis/init args -> fit_nu_z; burnin_prop -> fit_theta and
+    fit_warm_start; thinning/tempering/storage args -> fit_warm_start);
+    unknown names raise TypeError up front rather than passing silently.
+    """
+    unknown = set(kw) - _FIT_PHASE1_KW - _FIT_PHASE2_KW - _FIT_PHASE3_KW
+    if unknown:
+        raise TypeError(f"fit() got unexpected keyword arguments: "
+                        f"{sorted(unknown)}")
+    kw1 = {k: v for k, v in kw.items() if k in _FIT_PHASE1_KW}
+    kw2 = {k: v for k, v in kw.items() if k in _FIT_PHASE2_KW}
+    kw3 = {k: v for k, v in kw.items() if k in _FIT_PHASE3_KW}
     r1 = fit_nu_z(Y, time, data=data, K=K, M=M, X=X, family=family,
                   tot_mcmc_iters=nu_z_iters, n_try=n_try, priors=priors,
-                  seed=seed, **kw)
+                  seed=seed, **kw1)
     r2 = fit_theta(r1, tot_mcmc_iters=theta_iters, n_try=max(n_try, 1),
-                   covariate_cov=covariate_cov, priors=priors, seed=seed + 1)
+                   covariate_cov=covariate_cov, priors=priors, seed=seed + 1,
+                   **kw2)
     return fit_warm_start(r1, r2, tot_mcmc_iters=warm_iters, priors=priors,
-                          directory=directory, seed=seed + 2)
+                          directory=directory, seed=seed + 2, **kw3)
 
 
 def fit_hmc(data, *, K, M, covariate_cov=False, n_warmup=500, n_samples=500,

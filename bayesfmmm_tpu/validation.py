@@ -44,7 +44,12 @@ def validate_fit_args(*, tot_mcmc_iters=None, n_try=None, K=None,
 
 def validate_knots(internal_knots, boundary_knots):
     """UserFunctions.cpp:219-227 / PostProcessing.cpp:136-142."""
+    if internal_knots is None or boundary_knots is None:
+        raise ValueError("'internal_knots' and 'boundary_knots' are "
+                         "required for the functional family")
     bk = np.asarray(boundary_knots, dtype=float).ravel()
+    if bk.size != 2:
+        raise ValueError("'boundary_knots' must contain exactly two knots")
     for kn in np.asarray(internal_knots, dtype=float).ravel():
         if bk[0] >= kn:
             raise ValueError("at least one element in 'internal_knots' is "

@@ -9,10 +9,13 @@ functional MM, K=3 P=8").  The baseline denominator is *measured* each run
 vectorized single-thread NumPy (benchmarks/numpy_baseline.py), which is a
 stronger baseline than the reference's scalar-loop Rcpp sampler.
 
-ESS is computed per chain on *identifiable* quantities (fitted mean curves
-at probe points + log-likelihood) and summed over chains — pooling raw
-feature parameters across chains sitting in different label modes would
-understate ESS; identifiable functionals are label-invariant.
+ESS is the MULTI-CHAIN rank-normalized estimator on *identifiable*
+quantities (fitted mean curves at probe points + log-likelihood) — the
+between-chain variance term penalizes cross-chain disagreement, so a cold
+start cannot inflate the total; identifiable functionals are
+label-invariant, so label switching cannot deflate it.  The headline is
+reported at an operating point whose cross-chain R-hat is validated <= 1.01
+(see BENCH_SUITE.md operating-point sweep).
 """
 
 from __future__ import annotations
@@ -157,13 +160,18 @@ def main():
         base.sweep(s)
     base_elapsed = time.time() - t0
     base_iters_per_sec = n_base / base_elapsed
-    # same algorithm => same ESS/iteration — and verified empirically below
+    # vs_baseline credits the baseline with the TPU sampler's OWN ESS/iter —
+    # a conservative choice, since the TPU kernels mix at least as well per
+    # sweep (exact joint blocked Phi/xi draws vs the baseline's sequential
+    # blocks), so the true baseline ESS/s is if anything lower than this.
     ess_per_iter_chain = ess_total / N_CHAINS / (N_ITERS - warm)
     base_ess_per_sec = ess_per_iter_chain * base_iters_per_sec
 
-    # Empirical check of the same-ESS/iteration assumption (round-1 VERDICT
-    # weak #4): run one baseline chain, measure its ESS/iter on the same
-    # identifiable probes, and report the ratio.
+    # Mixing-ratio probe (NOT a kernel-equivalence check — the kernels
+    # intentionally differ since the joint blocked draws landed): one
+    # baseline chain's ESS/iter on the same identifiable probes.  A ratio
+    # > 1 quantifies the TPU kernels' better per-sweep mixing and bounds
+    # how much the conservative vs_baseline above understates the speedup.
     from bayesfmmm_tpu.diagnostics import rank_normalized_ess as _rness
     po = np.asarray(probe_obs)
     pt = np.asarray(probe_t)
@@ -182,7 +190,7 @@ def main():
     btail = bprobes[n_bchk // 3:]
     base_ess_q = [_rness(btail[None, :, j]) for j in range(btail.shape[1])]
     base_ess_per_iter = float(np.median(base_ess_q)) / btail.shape[0]
-    # within-chain vs within-chain: same kernels => ratio ~ 1
+    # within-chain TPU / within-chain numpy; > 1 == better per-sweep mixing
     ess_iter_ratio = (within_per_iter / base_ess_per_iter
                       if base_ess_per_iter > 0 else float("nan"))
 

@@ -115,15 +115,22 @@ class NumpyGibbs:
         mu = self._mu(s, Bnu, BPhi)
         for j in range(self.K):
             zj = s["Z"][:, j]
-            own = zj[:, None] * Bnu[:, :, j]
+            # Own term is the PURE B·nu_j contribution: with eta on, Bnu's
+            # slice carries B·eta_j·x too, which must stay in the residual
+            # (the reference subtracts the eta term for k==j as well,
+            # UpdateNu.h:320 sits outside the k!=j guard).
+            Bnu_j = (Bnu[:, :, j] if not self.with_eta
+                     else np.einsum("nlp,p->nl", self.B, s["nu"][j]))
+            own = zj[:, None] * Bnu_j
             r = self.y - mu + own
             prec = (np.einsum("n,npq->pq", zj * zj, self.G) / s["sigma2"]
                     + s["tau"][j] * self.pen)
             b = np.einsum("n,nl,nlp->p", zj, r, self.B) / s["sigma2"]
             nu_old = s["nu"][j].copy()
             s["nu"][j] = self._mvn_prec(prec, b)
-            Bnu[:, :, j] += np.einsum("nlp,p->nl", self.B, s["nu"][j] - nu_old)
-            mu = mu - own + zj[:, None] * Bnu[:, :, j]
+            dB = np.einsum("nlp,p->nl", self.B, s["nu"][j] - nu_old)
+            Bnu[:, :, j] += dB
+            mu = mu + zj[:, None] * dB
         return mu
 
     def update_eta(self, s, mu):
@@ -193,14 +200,25 @@ class NumpyGibbs:
         for j in range(self.K):
             for m in range(self.M):
                 w = s["Z"][:, j] * s["chi"][:, m]
-                own = w[:, None] * BPhi[:, :, j, m]
+                # Own term is the PURE B·Phi_jm contribution: with xi on,
+                # BPhi's slice carries the X·B·xi part, which stays fixed in
+                # this conditional and must remain in the residual; updating
+                # BPhi incrementally (+= dB) preserves it for update_xi /
+                # update_chi downstream.
+                BPhi_jm = (BPhi[:, :, j, m] if not self.with_xi
+                           else np.einsum("nlp,p->nl", self.B,
+                                          s["Phi"][j, :, m]))
+                own = w[:, None] * BPhi_jm
                 r = self.y - mu + own
                 prec = (np.einsum("n,npq->pq", w * w, self.G) / s["sigma2"]
                         + np.diag(tilde[j, m] * s["gamma"][j, :, m]))
                 b = np.einsum("n,nl,nlp->p", w, r, self.B) / s["sigma2"]
+                phi_old = s["Phi"][j, :, m].copy()
                 s["Phi"][j, :, m] = self._mvn_prec(prec, b)
-                BPhi[:, :, j, m] = np.einsum("nlp,p->nl", self.B, s["Phi"][j, :, m])
-                mu = mu - own + w[:, None] * BPhi[:, :, j, m]
+                dB = np.einsum("nlp,p->nl", self.B,
+                               s["Phi"][j, :, m] - phi_old)
+                BPhi[:, :, j, m] += dB
+                mu = mu + w[:, None] * dB
         return mu
 
     def update_chi(self, s, BPhi, mu):

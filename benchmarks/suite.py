@@ -3,9 +3,9 @@
 Usage:  python benchmarks/suite.py [--configs 1,2,3] [--out results.json]
 
 Each config measures compiled Gibbs-sweep throughput (chains x iters / s)
-on the default backend, plus ESS/s on the nu components, and — where the
-NumPy baseline supports the model (plain functional/MV) — the measured
-single-thread CPU baseline ratio.
+on the default backend, plus ESS/s on the nu components, and the measured
+single-thread CPU baseline ratio (the NumPy baseline covers every config:
+plain functional/MV and the covariate-adjusted eta/xi models).
 """
 
 from __future__ import annotations
