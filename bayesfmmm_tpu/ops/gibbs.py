@@ -191,6 +191,148 @@ def update_z(key, state, data, hp, cache: SweepCache, beta=1.0):
 
 
 # ---------------------------------------------------------------------------
+# (Z, chi) — partially collapsed block update.
+#
+# NOT a reference kernel: the reference's updateZ_PM conditions on chi
+# (UpdateMixedMembership.h:131-185), which couples Z_i to its current score
+# vector chi_i and leaves a slowly-mixing direction the conditional sweep
+# cannot cross (measured: cross-chain R-hat on fitted-curve probes plateaus
+# at ~1.6 even after 20k sweeps; BENCH_SUITE.md operating-point study).
+#
+# This kernel instead
+#   1. MH-updates each Z row against the CHI-MARGINAL row likelihood
+#        y_i | Z_i ~ N(B_i a_i(Z_i),  sigma2/beta I + F_i F_i'),
+#        a_i = sum_k Z_ik (nu_k + eta_k x_i),  F_i = B_i U_i,
+#        U_i = sum_k Z_ik (Phi_k + xi_k x_i),
+#      evaluated via the matrix-determinant lemma / Woodbury in M-space
+#      (exactly the CPO marginal, CalculateLikelihood.h:361-372), then
+#   2. immediately redraws ALL chi rows jointly from their exact Gaussian
+#      conditional given the new Z (precision I_M + s U'GU — one batched
+#      M x M Cholesky replacing the sequential M-loop of update_chi).
+#
+# The composition (MH invariant for the chi-marginal of Z) followed by
+# (exact draw of chi | Z) leaves the JOINT posterior invariant — the
+# partially-collapsed-Gibbs ordering of Van Dyk & Park (2008); nothing
+# reads the stale chi in between.  Tempering: [lik]^beta has effective
+# variance sigma2/beta, so marginalizing chi gives the covariance above and
+# the chi redraw precision I + beta F'F/sigma2 — matching updateChiTempered
+# (UpdateChi.h:79-134).  Joint invariance is proven by the Geweke test of
+# the collapsed sweep (tests/test_geweke.py).
+# ---------------------------------------------------------------------------
+
+def _mean_only_offsets(state, X):
+    """T[n,k,p] = nu_k + eta_k x_n — feature mean coefficients, chi terms
+    excluded (the chi-marginal kernel's mean structure)."""
+    N = X.shape[0]
+    T = jnp.broadcast_to(state.nu[None], (N,) + state.nu.shape)
+    if X.shape[1] > 0:
+        T = T + jnp.einsum("kpd,nd->nkp", state.eta, X, **_HI)
+    return T
+
+
+def _feature_eigendirs(state, X):
+    """V[n,k,p,m] = Phi_k + xi_k x_n — per-observation eigen-directions of
+    each feature (Z-independent)."""
+    N = X.shape[0]
+    V = jnp.broadcast_to(state.Phi[None], (N,) + state.Phi.shape)
+    if X.shape[1] > 0:
+        V = V + jnp.einsum("kpdm,nd->nkpm", state.xi, X, **_HI)
+    return V
+
+
+def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
+                 p_indep=0.1):
+    """Collapsed (Z, chi) block update; see block comment above.
+
+    Proposal: a mixture — with probability ``p_indep`` an INDEPENDENCE draw
+    from Dir(alpha3 * pi) (the Z-row prior), else the reference's local
+    Dirichlet random walk Dir(a_Z_PM * Z_i).  The local walk's ~1% steps
+    cannot hop between per-observation allocation basins (measured: loglik
+    cross-chain R-hat plateaus at 1.6 under pure random-walk Z); the
+    independence component jumps basins, and the chi-marginal target means
+    a jump is judged on the allocation's own merit rather than through the
+    stale chi_i.  The Hastings ratio uses the full mixture density both
+    ways, so the kernel is exact for any p_indep in [0, 1).
+    """
+    s = beta / state.sigma2
+    Tm = _mean_only_offsets(state, data.X)        # (N, K, P)
+    V = _feature_eigendirs(state, data.X)         # (N, K, P, M)
+    Mm = state.M
+    eyeM = jnp.eye(Mm, dtype=state.chi.dtype)
+
+    def row_stats(Z):
+        a = jnp.einsum("nk,nkp->np", Z, Tm, **_HI)           # (N, P)
+        U = jnp.einsum("nk,nkpm->npm", Z, V, **_HI)          # (N, P, M)
+        if data.identity_basis:
+            GU, Ga = U, a
+        else:
+            GU = jnp.einsum("npq,nqm->npm", data.G, U, **_HI)
+            Ga = jnp.einsum("npq,nq->np", data.G, a, **_HI)
+        C = eyeM + s * jnp.einsum("npm,npl->nml", U, GU, **_HI)
+        Fr = jnp.einsum("npm,np->nm", U, data.u - Ga, **_HI)  # F_i' r_i
+        rr = rss_rows_from_coeffs(data, a)                    # residual space
+        Lc = jnp.linalg.cholesky(C)   # eigenvalues >= 1: no jitter needed
+        return a, U, Lc, Fr, rr
+
+    def marg_loglik(Lc, Fr, rr):
+        logdet = 2.0 * jnp.sum(jnp.log(
+            jnp.diagonal(Lc, axis1=-2, axis2=-1)), axis=-1)
+        wv = jax.scipy.linalg.solve_triangular(
+            Lc, Fr[..., None], lower=True)[..., 0]
+        quad = s * rr - s * s * jnp.sum(wv * wv, axis=-1)
+        return -0.5 * (logdet + quad)
+
+    def row_lprior(Z):
+        return jnp.sum((state.alpha3 * state.pi - 1.0) * jnp.log(Z), axis=1)
+
+    kp, ki, kb, ka, kc = jax.random.split(key, 5)
+    prop_keys = jax.random.split(kp, data.N)
+    Z_rw = jax.vmap(rdirichlet)(prop_keys, hp.a_Z_PM * state.Z)
+    alpha_ind = jnp.broadcast_to(state.alpha3 * state.pi, state.Z.shape)
+    Z_ind = jax.vmap(rdirichlet)(jax.random.split(ki, data.N), alpha_ind)
+    use_ind = jax.random.uniform(kb, (data.N,)) < p_indep
+    Z_new = jnp.where(use_ind[:, None], Z_ind, Z_rw)
+
+    def log_q_mix(z_to, z_from):
+        """Mixture proposal density q(z_to | z_from)."""
+        ld_rw = dirichlet_logpdf_unnormalized(z_to, hp.a_Z_PM * z_from)
+        ld_ind = dirichlet_logpdf_unnormalized(z_to, alpha_ind)
+        if p_indep <= 0.0:
+            return ld_rw
+        return jnp.logaddexp(jnp.log(p_indep) + ld_ind,
+                             jnp.log1p(-p_indep) + ld_rw)
+
+    a_o, U_o, Lc_o, Fr_o, rr_o = row_stats(state.Z)
+    a_n, U_n, Lc_n, Fr_n, rr_n = row_stats(Z_new)
+    lp_old = marg_loglik(Lc_o, Fr_o, rr_o) + row_lprior(state.Z)
+    lp_new = marg_loglik(Lc_n, Fr_n, rr_n) + row_lprior(Z_new)
+    log_acc = (lp_new - lp_old
+               + log_q_mix(state.Z, Z_new) - log_q_mix(Z_new, state.Z))
+    boundary = jnp.any(state.Z <= 0.0, axis=1)
+    u = jax.random.uniform(ka, (data.N,))
+    accept = jnp.where(jnp.isnan(log_acc), False, jnp.log(u) < log_acc)
+    accept = accept | boundary
+    acc = accept[:, None]
+    Z = jnp.where(acc, Z_new, state.Z)
+    a = jnp.where(acc, a_n, a_o)
+    U = jnp.where(acc[..., None], U_n, U_o)
+    Lc = jnp.where(acc[..., None], Lc_n, Lc_o)
+    Fr = jnp.where(acc, Fr_n, Fr_o)
+
+    # exact joint chi | Z draw: precision C = I + s U'GU, linear b = s F'r
+    z = jax.random.normal(kc, (data.N, Mm), state.chi.dtype)
+    hw = jax.scipy.linalg.solve_triangular(
+        Lc, (s * Fr)[..., None], lower=True)
+    mean = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(Lc, -1, -2), hw, lower=False)[..., 0]
+    noise = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(Lc, -1, -2), z[..., None], lower=False)[..., 0]
+    chi = mean + noise
+    w = a + jnp.einsum("npm,nm->np", U, chi, **_HI)
+    return state.replace(Z=Z, chi=chi), cache.replace(w=w)
+
+
+# ---------------------------------------------------------------------------
 # pi — population allocation (MH with Dirichlet proposal)
 # Reference: updatePi_PM / lpdf_pi_PM (UpdatePi.h:39-116)
 # ---------------------------------------------------------------------------
@@ -624,6 +766,146 @@ def update_a_xi(key, state, hp):
 
 
 # ---------------------------------------------------------------------------
+# Gauge moves — MH along the model's exact likelihood-invariances.
+#
+# NOT a reference kernel.  The mixed membership mean
+#     mu_n = B_n sum_k Z_nk (nu_k + eta_k x_n + (Phi_k + xi_k x_n) chi_n)
+# is EXACTLY invariant under two transformation families:
+#
+#   (a) feature mixing: for a feature pair (a, b) and T = I + c G with
+#       G = e_a (e_b - e_a)' and c = 1 - exp(-eps),
+#         (nu, Phi, eta, xi) <- T ·_featureaxis (...),   Z <- Z T^{-1};
+#       rows of Z stay on the simplex (T 1 = 1).  This is the in-sampler
+#       form of the reference's post-hoc "rescale" identifiability
+#       transform (PostProcessing.cpp:203-220) — the convex-hull gauge.
+#   (b) eigen rescale: chi[:, m] <- chi/s, (Phi, xi)[..., m] <- s * (...).
+#
+# The posterior is NOT invariant (priors and Jacobians break the symmetry),
+# so these directions form a near-flat ridge that the conditional kernels
+# random-walk across on an O(10^4)-sweep timescale (measured: cross-chain
+# R-hat on boundary fitted values plateaus ~1.4-1.7; BENCH_SUITE.md).  An
+# MH proposal that moves ALONG the invariance costs O(K P (M + D(1+M)))
+# FLOPs — no likelihood evaluation — and mixes the ridge directly.
+#
+# Acceptance: log a = [log prior(new) - log prior(old)] + log|J|, with
+#   (a) log|J| = eps * (N - P(1 + M + D + D*M))   (det T = e^{-eps}; the
+#       Z rows' simplex-restricted Jacobian is e^{eps} per row)
+#   (b) log|J| = (K*P*(1 + D) - N) * log s
+# Both moves leave every likelihood factor untouched, so beta-tempering
+# does not enter.  Exactness is covered by the Geweke joint-invariance test
+# of the production sweep (tests/test_geweke.py).
+# ---------------------------------------------------------------------------
+
+def _gauge_logprior(state, data, hp):
+    """Prior terms that gauge maps can change (log scale, constants fixed)."""
+    lp = jnp.sum((state.alpha3 * state.pi - 1.0) * jnp.log(state.Z))
+    quad_nu = jnp.einsum("kp,pq,kq->k", state.nu, data.pen, state.nu, **_HI)
+    lp = lp - 0.5 * jnp.sum(state.tau * quad_nu)
+    tilde = jnp.cumprod(state.delta, axis=1)               # (K, M)
+    lp = lp - 0.5 * jnp.sum(tilde[:, None, :] * state.gamma * state.Phi ** 2)
+    lp = lp - 0.5 * jnp.sum(state.chi ** 2)
+    if data.D > 0:
+        quad_eta = jnp.einsum("kpd,pq,kqd->kd", state.eta, data.pen,
+                              state.eta, **_HI)
+        lp = lp - 0.5 * jnp.sum(state.tau_eta * quad_eta)
+        tilde_xi = jnp.cumprod(state.delta_xi, axis=1)     # (K, M, D)
+        pri = tilde_xi.transpose(0, 2, 1)[:, None, :, :]   # (K, 1, D, M)
+        lp = lp - 0.5 * jnp.sum(pri * state.gamma_xi * state.xi ** 2)
+    return lp
+
+
+def _mix_features(state, data, ea, eb, eps):
+    """Apply the T = I + (1-e^{-eps}) e_a (e_b - e_a)' gauge map."""
+    c = 1.0 - jnp.exp(-eps)
+    cp = 1.0 - jnp.exp(eps)
+
+    def rowmap(x):       # x: (K, ...) feature-indexed
+        xa = jnp.tensordot(ea, x, axes=1)
+        xb = jnp.tensordot(eb, x, axes=1)
+        shape = (-1,) + (1,) * (x.ndim - 1)
+        return x + ea.reshape(shape) * (c * (xb - xa))[None]
+
+    za = state.Z @ ea                                    # (N,)
+    Z = state.Z + cp * za[:, None] * (eb - ea)[None, :]
+    new = dict(Z=Z, nu=rowmap(state.nu), Phi=rowmap(state.Phi))
+    if data.D > 0:
+        new["eta"] = rowmap(state.eta)
+        new["xi"] = rowmap(state.xi)
+    return state.replace(**new)
+
+
+def _rescale_eigen(state, data, em, log_s):
+    """Apply the chi/Phi eigen-rescale gauge map for component mask em."""
+    s = jnp.exp(log_s)
+    scale_m = 1.0 + (s - 1.0) * em                       # (M,)
+    chi = state.chi / scale_m[None, :]
+    Phi = state.Phi * scale_m[None, None, :]
+    new = dict(chi=chi, Phi=Phi)
+    if data.D > 0:
+        new["xi"] = state.xi * scale_m[None, None, None, :]
+    return state.replace(**new)
+
+
+def update_gauge(key, state, data, hp, *, sigma_mix=0.3, sigma_scale=0.3,
+                 n_mix=1, n_scale=1):
+    """Gauge MH moves: ``n_mix`` random feature-pair mixing proposals and
+    ``n_scale`` random eigen-index rescale proposals per call.
+
+    One move of each kind per sweep suffices — the gauge subspace is only
+    K(K-1)+M dimensional and each accepted move is a macroscopic slide
+    along it, so its mixing time is decoupled from the conditional sweep's;
+    keeping the count at 1 keeps the kernel's latency cost ~2 small fused
+    blocks instead of K(K-1)+M sequential ones."""
+    K, M = state.K, state.M
+    P = state.nu.shape[1]
+    D = data.D
+    eyeK = jnp.eye(K, dtype=state.nu.dtype)
+    eyeM = jnp.eye(M, dtype=state.nu.dtype)
+    jac_mix = data.N - P * (1.0 + M + D + D * M)
+    jac_scale = K * P * (1.0 + D) - data.N
+
+    def mix_body(i, carry):
+        st, lp = carry
+        ki = jax.random.fold_in(key, i)
+        kab, ke, ku = jax.random.split(ki, 3)
+        idx = jax.random.randint(kab, (), 0, K * (K - 1))
+        a = idx // (K - 1)
+        rem = idx % (K - 1)
+        b = jnp.where(rem >= a, rem + 1, rem)
+        eps = sigma_mix * jax.random.normal(ke, dtype=state.nu.dtype)
+        prop = _mix_features(st, data, eyeK[a], eyeK[b], eps)
+        lp_new = _gauge_logprior(prop, data, hp)
+        log_acc = lp_new - lp + eps * jac_mix
+        ok = jnp.log(jax.random.uniform(ku)) < jnp.nan_to_num(
+            log_acc, nan=-jnp.inf)
+        st = jax.tree.map(lambda n, o: jnp.where(ok, n, o), prop, st)
+        lp = jnp.where(ok, lp_new, lp)
+        return st, lp
+
+    def scale_body(i, carry):
+        st, lp = carry
+        ki = jax.random.fold_in(key, 7907 + i)
+        km, ke, ku = jax.random.split(ki, 3)
+        m = jax.random.randint(km, (), 0, M)
+        log_s = sigma_scale * jax.random.normal(ke, dtype=state.nu.dtype)
+        prop = _rescale_eigen(st, data, eyeM[m], log_s)
+        lp_new = _gauge_logprior(prop, data, hp)
+        log_acc = lp_new - lp + log_s * jac_scale
+        ok = jnp.log(jax.random.uniform(ku)) < jnp.nan_to_num(
+            log_acc, nan=-jnp.inf)
+        st = jax.tree.map(lambda n, o: jnp.where(ok, n, o), prop, st)
+        lp = jnp.where(ok, lp_new, lp)
+        return st, lp
+
+    lp0 = _gauge_logprior(state, data, hp)
+    state, lp = jax.lax.fori_loop(0, n_mix, mix_body, (state, lp0),
+                                  unroll=_unroll(n_mix))
+    state, _ = jax.lax.fori_loop(0, n_scale, scale_body, (state, lp),
+                                 unroll=_unroll(n_scale))
+    return state
+
+
+# ---------------------------------------------------------------------------
 # Sweep compositions — the three phase drivers' scan orders
 # (BFMMM.h:1073-1100 phase 1; :1253-1298 phase 2; :1500-1554 phase 3;
 # CovAdj orders from BFMMM.h:3742-3769, :3952-3999, :4810-4893).
@@ -676,7 +958,8 @@ def sweep_theta(key, state, data, hp, *, covariate_mean=False,
 
 
 def sweep_full(key, state, data, hp, c, *, covariate_mean=False,
-               covariate_cov=False, beta=1.0):
+               covariate_cov=False, beta=1.0, collapsed_z=False,
+               gauge=False):
     """Phase-3 (production) sweep.
 
     Plain order (BFMMM.h:1500-1554): Z, pi, alpha3, Phi, delta, A, gamma,
@@ -684,10 +967,18 @@ def sweep_full(key, state, data, hp, c, *, covariate_mean=False,
     A_xi, gamma_xi (BFMMM.h:4810-4893).  ``beta`` < 1 gives the tempered
     sweep: only the data-likelihood-touching kernels consume it, matching
     the reference's choice of which updaters get Tempered variants.
+
+    collapsed_z=True swaps the reference's chi-conditional Z kernel for the
+    partially collapsed (Z, chi) block (update_z_chi) — same posterior,
+    strictly better mixing across the Z/chi coupling; the production fit
+    path and the benchmark use it (see update_z_chi block comment).
     """
     ks = _keys(key, 17)
     cache = build_cache(data, state)
-    state, cache = update_z(ks[0], state, data, hp, cache, beta)
+    if collapsed_z:
+        state, cache = update_z_chi(ks[0], state, data, hp, cache, beta)
+    else:
+        state, cache = update_z(ks[0], state, data, hp, cache, beta)
     state = update_pi(ks[1], state, hp, c)
     state = update_alpha3(ks[2], state, hp)
     state, cache = update_phi(ks[3], state, data, hp, cache, beta)
@@ -706,4 +997,7 @@ def sweep_full(key, state, data, hp, c, *, covariate_mean=False,
         state = update_delta_xi(ks[14], state, hp)
         state = update_a_xi(ks[15], state, hp)
         state = update_gamma_xi(ks[16], state, hp)
+    if gauge:
+        state = update_gauge(jax.random.fold_in(key, 1299709), state,
+                             data, hp)
     return state

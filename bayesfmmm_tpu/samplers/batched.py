@@ -33,15 +33,26 @@ def run_batched(key, state, data, hp, c, *, directory, tot_mcmc_iters,
                 r_stored_iters, thinning_num=1, n_temp_trans=0,
                 beta_N_t=1.0, N_t=1, covariate_mean=False,
                 covariate_cov=False, family="functional",
-                checkpoint_every=None, start_batch=0):
+                checkpoint_every=None, start_batch=0, progress=None):
     """Run ``tot_mcmc_iters`` sweeps in ``r_stored_iters`` batches, saving
     each thinned batch in the reference's trace-file contract.
+
+    ``progress``: a utils.observability.ProgressStream (or True for the
+    default one) fed after every batch — the rolling-loglik print of
+    BFMMM.h:870-875 at batch granularity.  The host loop between batches is
+    also the cooperative interrupt point (Rcpp::checkUserInterrupt analog,
+    BFMMM.h:203): Ctrl-C lands when the in-flight batch returns; the
+    already-saved batch files and the latest checkpoint survive, so
+    ``resume_batched`` can continue the run.
 
     Returns (final_state, loglik_full, n_batches).
     """
     from bayesfmmm_tpu.io import armaio
     from bayesfmmm_tpu.io.native import AsyncTraceWriter
+    from bayesfmmm_tpu.utils.observability import ProgressStream
 
+    if progress is True:
+        progress = ProgressStream(every=1)
     os.makedirs(directory, exist_ok=True)
     n_batches = tot_mcmc_iters // r_stored_iters
     logliks = []
@@ -64,6 +75,8 @@ def run_batched(key, state, data, hp, c, *, directory, tot_mcmc_iters,
                 save_checkpoint(os.path.join(directory, "checkpoint"),
                                 state, key,
                                 iteration=(q + 1) * r_stored_iters)
+            if progress is not None:
+                progress.update(q0, logliks[-1])
         failures = writer.flush()
         if failures:
             raise IOError(f"{failures} trace batch writes failed")

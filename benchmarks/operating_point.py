@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_point(n_chains, warmup, kept, data=None, seed=0):
+def run_point(n_chains, warmup, kept, data=None, seed=0, a_z=None,
+              collapsed=False, gauge=False):
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +45,7 @@ def run_point(n_chains, warmup, kept, data=None, seed=0):
     if data is None:
         data, _ = simulate_functional(seed=7, N=N, K=K, P=P, M=M,
                                       n_time=(100, 100))
-    hp = Priors()
+    hp = Priors() if a_z is None else Priors(a_Z_PM=float(a_z))
     c = jnp.full((K,), 10.0)
     cfg = ModelConfig(K=K, P=P, M=M)
 
@@ -67,16 +68,21 @@ def run_point(n_chains, warmup, kept, data=None, seed=0):
     probe_obs = jnp.arange(0, N, N // 8)[:8]
     probe_t = jnp.arange(0, data.L, data.L // 4)[:4]
 
+    warm_chunk = min(5000, warmup)
+
     def warm_chain(k, st):
         def body(carry, kk):
-            return gibbs.sweep_full(kk, carry, data, hp, c), None
-        keys = jax.random.split(k, warmup)
+            return gibbs.sweep_full(kk, carry, data, hp, c,
+                                    collapsed_z=collapsed,
+                                    gauge=gauge), None
+        keys = jax.random.split(k, warm_chunk)
         st, _ = jax.lax.scan(body, st, keys)
         return st
 
     def kept_chain(k, st):
         def body(carry, kk):
-            st = gibbs.sweep_full(kk, carry, data, hp, c)
+            st = gibbs.sweep_full(kk, carry, data, hp, c,
+                                  collapsed_z=collapsed, gauge=gauge)
             mu = compute_mu(data, st)
             probes = mu[probe_obs][:, probe_t].ravel()
             ll = log_likelihood(st, data)
@@ -87,10 +93,17 @@ def run_point(n_chains, warmup, kept, data=None, seed=0):
     run_w = jax.jit(jax.vmap(warm_chain))
     run_k = jax.jit(jax.vmap(kept_chain))
 
+    # chunk the warmup into <=5000-sweep device calls: one monolithic scan
+    # of 50k+ sweeps is a single multi-minute dispatch (tunnel/RPC timeouts)
     t0 = time.time()
-    wkeys = jax.vmap(lambda k: jax.random.fold_in(k, 101))(chain_keys)
-    states = run_w(wkeys, states)
-    jax.block_until_ready(states.Z)
+    n_chunks = max(1, -(-warmup // warm_chunk))
+    for ci in range(n_chunks):
+        wkeys = jax.vmap(
+            lambda k: jax.random.fold_in(k, 101 + ci))(chain_keys)
+        states = run_w(wkeys, states)
+        jax.block_until_ready(states.Z)
+        print(f"# warm chunk {ci + 1}/{n_chunks} "
+              f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
     warm_s = time.time() - t0
 
     kkeys = jax.vmap(lambda k: jax.random.fold_in(k, 202))(chain_keys)
@@ -107,7 +120,8 @@ def run_point(n_chains, warmup, kept, data=None, seed=0):
     rhat_max = float(np.max(rhat_q))
     rhat_med = float(np.median(rhat_q))
     return {
-        "chains": n_chains, "warmup": warmup, "kept": kept,
+        "chains": n_chains, "warmup": warmup, "kept": kept, "a_z": a_z,
+        "collapsed_z": collapsed, "gauge": gauge,
         "rhat_max": round(rhat_max, 4), "rhat_median": round(rhat_med, 4),
         "ess_multichain": round(ess_total, 1),
         "ess_per_sec": round(ess_total / kept_s, 1),
@@ -122,10 +136,17 @@ def main():
     ap.add_argument("--points",
                     default="64:100:200,64:500:1500,64:1000:3000,"
                             "256:500:1500,512:500:1500")
+    ap.add_argument("--a_z", type=float, default=None,
+                    help="override the Z-proposal concentration a_Z_PM")
+    ap.add_argument("--collapsed", action="store_true",
+                    help="use the partially collapsed (Z, chi) kernel")
+    ap.add_argument("--gauge", action="store_true",
+                    help="append gauge MH moves to every sweep")
     args = ap.parse_args()
     for spec in args.points.split(","):
         nc, w, k = (int(x) for x in spec.split(":"))
-        res = run_point(nc, w, k)
+        res = run_point(nc, w, k, a_z=args.a_z, collapsed=args.collapsed,
+                        gauge=args.gauge)
         print(json.dumps(res), flush=True)
 
 
