@@ -31,7 +31,7 @@ from bayesfmmm_tpu.models.state import (
 from bayesfmmm_tpu.samplers import drivers
 
 __all__ = ["FitResult", "build_data", "fit_nu_z", "fit_theta",
-           "fit_warm_start", "fit"]
+           "fit_warm_start", "fit", "fit_pt", "fit_smc"]
 
 
 class FitResult:
@@ -217,13 +217,25 @@ def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
                    tot_mcmc_iters=2000, thinning_num=1, burnin_prop=0.8,
                    n_temp_trans=0, beta_N_t=1.0, N_t=1, n_chains=1,
                    priors: Priors | None = None, directory=None,
-                   r_stored_iters=None, seed=2):
+                   r_stored_iters=None, seed=2, kernels="reference",
+                   progress=False, progress_every=100):
     """Phase 3 — production sampler warm-started from phase-1/2 medians.
 
     Mirrors BFMMM_warm_start (UserFunctions.cpp:1341): per-element posterior
     medians of both phases seed the chain (:1557-1650); tempered-transition
     excursions run every n_temp_trans iterations; traces optionally export
     to `directory` using the reference's file contract.
+
+    kernels: "reference" reproduces the reference kernel census exactly;
+    "production" swaps in the collapsed (Z, chi) block and gauge moves
+    (ops/gibbs.py) — same posterior (Geweke-proven), better mixing.
+
+    progress: True (or a ProgressStream) prints rolling log-likelihood
+    every ``progress_every`` iterations (BFMMM.h:870-875 analog).  With
+    progress enabled the run executes in ``progress_every``-iteration
+    compiled chunks, so Ctrl-C lands at a chunk boundary instead of inside
+    one monolithic multi-hour scan (Rcpp::checkUserInterrupt analog,
+    BFMMM.h:203).
     """
     validation.validate_fit_args(tot_mcmc_iters=tot_mcmc_iters,
                                  burnin_prop=burnin_prop)
@@ -249,6 +261,10 @@ def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
             xi=est2["xi"], gamma_xi=est2["gamma_xi"],
             delta_xi=est2["delta_xi"], A_xi=est2["A_xi"])
 
+    use_production = kernels == "production"
+    if kernels not in ("reference", "production"):
+        raise ValueError("kernels must be 'reference' or 'production'")
+
     if r_stored_iters is not None and directory is not None:
         # reference batch/ring persistence path (BFMMM.h:205-271) with the
         # async native writer overlapping IO and compute
@@ -260,7 +276,9 @@ def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
             thinning_num=thinning_num, n_temp_trans=n_temp_trans,
             beta_N_t=beta_N_t, N_t=N_t,
             covariate_mean=cfg.covariate_mean,
-            covariate_cov=cfg.covariate_cov, family=cfg.family)
+            covariate_cov=cfg.covariate_cov, family=cfg.family,
+            progress=progress, collapsed_z=use_production,
+            gauge=use_production)
         from bayesfmmm_tpu.io import armaio
         disk = armaio.load_trace_dir(directory)
         name_map = {"Nu": "nu", "Chi": "chi", "Pi": "pi",
@@ -276,21 +294,184 @@ def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
         res.config = cfg
         return res
 
-    def phase(k, st):
-        return drivers.phase_warm_start(
-            k, seed_state(st), data, hp, c_vec, n_iters=tot_mcmc_iters,
-            thin=thinning_num, n_temp_trans=n_temp_trans,
-            beta_N_t=beta_N_t, N_t=N_t,
-            covariate_mean=cfg.covariate_mean,
-            covariate_cov=cfg.covariate_cov)
+    if progress:
+        # chunked execution: compiled progress_every-iteration scans with a
+        # host sync (progress print + interrupt point) between chunks
+        from bayesfmmm_tpu.utils.observability import ProgressStream
+        stream = progress if hasattr(progress, "update") \
+            else ProgressStream(every=1)
+        chunk = max(thinning_num,
+                    (progress_every // thinning_num) * thinning_num)
+        keys = jax.random.split(key, n_chains)
+        init_keys = jax.random.split(jax.random.fold_in(key, 999), n_chains)
+        states = jax.jit(jax.vmap(
+            lambda k: seed_state(init_state(k, cfg, data, c=c_vec))))(init_keys)
 
-    res = _run_restarts(key, data, cfg, hp, c_vec, phase, n_chains,
-                        tot_mcmc_iters // thinning_num)
+        run_cache = {}
+
+        def run_chunk(n, ck, sts):
+            if n not in run_cache:
+                def phase_n(k, st):
+                    return drivers.phase_warm_start(
+                        k, st, data, hp, c_vec, n_iters=n,
+                        thin=thinning_num, n_temp_trans=n_temp_trans,
+                        beta_N_t=beta_N_t, N_t=N_t,
+                        covariate_mean=cfg.covariate_mean,
+                        covariate_cov=cfg.covariate_cov,
+                        collapsed_z=use_production, gauge=use_production)
+                run_cache[n] = jax.jit(jax.vmap(phase_n))
+            return run_cache[n](ck, sts)
+
+        done, t_parts, ll_parts = 0, [], []
+        ci = 0
+        while done < tot_mcmc_iters:
+            n = min(chunk, tot_mcmc_iters - done)
+            ck = jax.vmap(lambda k: jax.random.fold_in(k, ci))(keys)
+            res = run_chunk(n, ck, states)
+            states = res.final_state
+            ll_parts.append(np.asarray(res.loglik))
+            t_parts.append({k: np.asarray(v) for k, v in res.traces.items()})
+            done += n
+            ci += 1
+            stream.update(done - 1, ll_parts[-1].mean(axis=0))
+        loglik = np.concatenate(ll_parts, axis=1)
+        best = int(drivers.best_chain(loglik,
+                                      window=min(100, loglik.shape[1])))
+        traces = {k: np.concatenate([p[k][best] for p in t_parts], axis=0)
+                  for k in t_parts[0]}
+        res = FitResult(traces, loglik[best],
+                        jax.tree.map(lambda x: x[best], states), best)
+    else:
+        def phase(k, st):
+            return drivers.phase_warm_start(
+                k, seed_state(st), data, hp, c_vec, n_iters=tot_mcmc_iters,
+                thin=thinning_num, n_temp_trans=n_temp_trans,
+                beta_N_t=beta_N_t, N_t=N_t,
+                covariate_mean=cfg.covariate_mean,
+                covariate_cov=cfg.covariate_cov,
+                collapsed_z=use_production, gauge=use_production)
+
+        res = _run_restarts(key, data, cfg, hp, c_vec, phase, n_chains,
+                            tot_mcmc_iters // thinning_num)
     res.data = data
     res.config = cfg
     if directory is not None:
         export_traces(directory, res.traces, cfg)
     return res
+
+
+def fit_pt(nu_z_result: FitResult, theta_result: FitResult, *,
+           tot_mcmc_iters=2000, n_replicas=8, beta_min=0.3,
+           n_sweeps_between=1, burnin_prop=0.8,
+           priors: Priors | None = None, directory=None, seed=2,
+           kernels="reference"):
+    """Phase-3 alternative: replica-exchange parallel tempering.
+
+    The multi-device replacement for the reference's in-chain tempered
+    transitions (BFMMM.h:780-865; SURVEY.md §2.2): ``n_replicas`` tempered
+    replicas run concurrently on a geometric ladder and propose state swaps
+    each round (parallel/tempering.py; swaps lower to collective-permute
+    when replicas shard across the mesh).  Returns a FitResult whose traces
+    are the cold chain (one draw per PT round) plus ``swap_rate``.
+    """
+    validation.validate_fit_args(tot_mcmc_iters=tot_mcmc_iters,
+                                 burnin_prop=burnin_prop)
+    if n_replicas < 2:
+        raise ValueError("'n_replicas' must be at least 2")
+    if not (0.0 < beta_min <= 1.0):
+        raise ValueError("'beta_min' must be in (0, 1]")
+    hp = (priors or Priors()).validate()
+    data = theta_result.data
+    cfg = theta_result.config
+    est1 = nu_z_result.estimates(burnin_prop)
+    est2 = theta_result.estimates(burnin_prop)
+    c_vec = jnp.asarray(hp.c_vector(cfg.K), dtype=data.y.dtype)
+    key = jax.random.PRNGKey(seed)
+
+    from bayesfmmm_tpu.parallel.tempering import run_parallel_tempering
+    from bayesfmmm_tpu.models.likelihood import log_likelihood
+
+    init_keys = jax.random.split(jax.random.fold_in(key, 999), n_replicas)
+
+    def seed_replica(k):
+        st = init_state(k, cfg, data)
+        return st.replace(
+            Z=est1["Z"], pi=est1["pi"], alpha3=est1["alpha3"],
+            nu=est1["nu"], tau=est1["tau"], eta=est1["eta"],
+            tau_eta=est1["tau_eta"],
+            Phi=est2["Phi"], gamma=est2["gamma"], delta=est2["delta"],
+            A=est2["A"], sigma2=est2["sigma2"], chi=est2["chi"],
+            xi=est2["xi"], gamma_xi=est2["gamma_xi"],
+            delta_xi=est2["delta_xi"], A_xi=est2["A_xi"])
+
+    replicas = jax.jit(jax.vmap(seed_replica))(init_keys)
+    cold_trace, pt, swap_rate = run_parallel_tempering(
+        key, replicas, data, hp, c_vec, n_rounds=tot_mcmc_iters,
+        beta_min=beta_min, n_sweeps_between=n_sweeps_between,
+        covariate_mean=cfg.covariate_mean, covariate_cov=cfg.covariate_cov)
+    traces = {f: np.asarray(getattr(cold_trace, f))
+              for f in drivers._TRACE_FIELDS}
+    ll = np.asarray(jax.jit(jax.vmap(
+        lambda s: log_likelihood(s, data)))(cold_trace))
+    final = jax.tree.map(lambda x: x[0], pt.states)
+    res = FitResult(traces, ll, final)
+    res.data = data
+    res.config = cfg
+    res.swap_rate = float(swap_rate)
+    if directory is not None:
+        export_traces(directory, traces, cfg)
+    return res
+
+
+def fit_smc(Y=None, time=None, *, data=None, K, M=1, X=None,
+            family="functional", n_particles=256, n_mutation_sweeps=2,
+            target_cess=0.7, ess_threshold=0.5,
+            priors: Priors | None = None, basis_degree=3,
+            internal_knots=None, boundary_knots=None, basis_degrees=None,
+            internal_knots_list=None, covariate_cov=False, seed=0):
+    """Adaptive tempered SMC fit — prior-to-posterior annealing with
+    systematic resampling and tempered-Gibbs mutation (samplers/smc.py).
+
+    The from-scratch alternative to the 3-phase warm-start pipeline for
+    multimodal allocations: no initializer is needed because the particle
+    cloud starts at beta=0 (the prior).  Returns particles (stacked
+    GibbsState), normalized weights, the log-evidence estimate, and
+    weighted posterior-mean estimates.
+    """
+    validation.validate_fit_args(K=K, n_eigen=M)
+    if n_particles < 2:
+        raise ValueError("'n_particles' must be at least 2")
+    hp = (priors or Priors()).validate()
+    if data is None:
+        data = build_data(Y, time, family=family, basis_degree=basis_degree,
+                          internal_knots=internal_knots,
+                          boundary_knots=boundary_knots, X=X,
+                          basis_degrees=basis_degrees,
+                          internal_knots_list=internal_knots_list)
+    cfg = ModelConfig(K=K, P=int(data.P), M=M, D=int(data.D),
+                      family=data.family, covariate_mean=data.D > 0,
+                      covariate_cov=covariate_cov and data.D > 0)
+    c_vec = jnp.asarray(hp.c_vector(K), dtype=data.y.dtype)
+    key = jax.random.PRNGKey(seed)
+
+    from bayesfmmm_tpu.samplers.smc import run_smc
+    init_keys = jax.random.split(jax.random.fold_in(key, 999), n_particles)
+    particles = jax.jit(jax.vmap(
+        lambda k: init_state(k, cfg, data, c=c_vec)))(init_keys)
+    result = jax.jit(lambda k, p: run_smc(
+        k, p, data, hp, c_vec, n_mutation_sweeps=n_mutation_sweeps,
+        target_cess=target_cess, ess_threshold=ess_threshold,
+        covariate_mean=cfg.covariate_mean,
+        covariate_cov=cfg.covariate_cov))(key, particles)
+    w = np.asarray(jax.nn.softmax(result.log_weights))
+    est = {f: np.tensordot(w, np.asarray(getattr(result.particles, f)),
+                           axes=1)
+           for f in drivers._TRACE_FIELDS}
+    return {"particles": result.particles, "weights": w,
+            "log_evidence": float(result.log_evidence),
+            "n_stages": int(result.n_stages),
+            "final_beta": float(result.final_beta),
+            "estimates": est, "config": cfg, "data": data}
 
 
 def export_traces(directory, traces, cfg, batch=0):

@@ -33,7 +33,8 @@ def run_batched(key, state, data, hp, c, *, directory, tot_mcmc_iters,
                 r_stored_iters, thinning_num=1, n_temp_trans=0,
                 beta_N_t=1.0, N_t=1, covariate_mean=False,
                 covariate_cov=False, family="functional",
-                checkpoint_every=None, start_batch=0, progress=None):
+                checkpoint_every=None, start_batch=0, progress=None,
+                collapsed_z=False, gauge=False):
     """Run ``tot_mcmc_iters`` sweeps in ``r_stored_iters`` batches, saving
     each thinned batch in the reference's trace-file contract.
 
@@ -65,7 +66,8 @@ def run_batched(key, state, data, hp, c, *, directory, tot_mcmc_iters,
                 kb, state, data, hp, c, n_iters=r_stored_iters,
                 thin=thinning_num, n_temp_trans=n_temp_trans,
                 beta_N_t=beta_N_t, N_t=N_t, covariate_mean=covariate_mean,
-                covariate_cov=covariate_cov)
+                covariate_cov=covariate_cov, collapsed_z=collapsed_z,
+                gauge=gauge)
             state = res.final_state
             logliks.append(np.asarray(res.loglik))
             _submit_batch(writer, directory, res.traces, q, family,

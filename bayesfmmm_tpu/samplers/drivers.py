@@ -133,7 +133,7 @@ def run_chain(key, state, data, hp, c, *, sweep, n_iters, thin=1,
                 s2, _, _ = tempered_excursion(
                     ks, st, data, hp, c, ladder,
                     covariate_mean=covariate_mean,
-                    covariate_cov=covariate_cov)
+                    covariate_cov=covariate_cov, sweep_fn=sweep)
                 return s2
 
             def do_sweep(st):
@@ -200,11 +200,17 @@ def phase_theta(key, state, data, hp, c, *, n_iters, covariate_mean=False,
 
 def phase_warm_start(key, state, data, hp, c, *, n_iters, thin=1,
                      n_temp_trans=0, beta_N_t=1.0, N_t=1,
-                     covariate_mean=False, covariate_cov=False):
+                     covariate_mean=False, covariate_cov=False,
+                     collapsed_z=False, gauge=False):
     """Phase 3 (BFMMM_MTT_warm_start, BFMMM.h:1346-1762): production sampler
-    with optional tempered-transition excursions every n_temp_trans iters."""
+    with optional tempered-transition excursions every n_temp_trans iters.
+
+    collapsed_z/gauge select the production kernels (ops/gibbs.py
+    update_z_chi / update_gauge — same posterior, Geweke-proven, better
+    mixing); defaults keep the reference kernel census exactly."""
     sweep = functools.partial(gibbs.sweep_full, covariate_mean=covariate_mean,
-                              covariate_cov=covariate_cov)
+                              covariate_cov=covariate_cov,
+                              collapsed_z=collapsed_z, gauge=gauge)
     ladder = make_temperature_ladder(beta_N_t, N_t) if n_temp_trans else None
     return run_chain(key, state, data, hp, c, sweep=sweep, n_iters=n_iters,
                      thin=thin, n_temp_trans=n_temp_trans, ladder=ladder,
