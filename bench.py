@@ -27,8 +27,9 @@ Protocol (round-3; see BENCH_SUITE.md "operating point" study):
     validated within 2x of XLA's one-sweep cost analysis) times trip
     count — XLA's cost_analysis does not scale scan bodies.
 
-Env knobs: BENCH_WARMUP (default 120000), BENCH_KEPT (default 10000),
-BENCH_CHAINS (default 64), BENCH_GAUGE=0/1 (default 1).
+Env knobs: BENCH_WARMUP (default 150000 — the measured plateau of the
+equilibration transient), BENCH_KEPT (default 20000), BENCH_CHAINS
+(default 64), BENCH_GAUGE=0/1 (default 1).
 """
 
 from __future__ import annotations
@@ -43,8 +44,8 @@ os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 
 import numpy as np
 
-WARMUP = int(os.environ.get("BENCH_WARMUP", 120000))
-KEPT = int(os.environ.get("BENCH_KEPT", 10000))
+WARMUP = int(os.environ.get("BENCH_WARMUP", 150000))
+KEPT = int(os.environ.get("BENCH_KEPT", 20000))
 N_CHAINS = int(os.environ.get("BENCH_CHAINS", 64))
 GAUGE = os.environ.get("BENCH_GAUGE", "1") == "1"
 ANNEAL = min(5000, WARMUP)
