@@ -156,14 +156,20 @@ def update_z(key, state, data, hp, cache: SweepCache, beta=1.0):
     # Per-row Gaussian log-likelihood evaluated in residual space: the
     # Gram-identity quadratic yy - 2 z·(T u) + z'(T G T')z cancels
     # catastrophically in f32 (error ~ eps*||y_n||^2 can flip MH decisions
-    # on high-SNR data), so both MH endpoints materialize the length-L
-    # residual once — O(N·L·P), twice per sweep, outside the blocked loops.
+    # on high-SNR data), so the MH endpoints materialize the length-L
+    # residual — both endpoints STACKED into one (2N, L, P)-batched pass so
+    # the sweep's largest einsum runs once, not twice (per-sweep-latency
+    # item, round-2 VERDICT #4).
     T = feature_offsets(state, data.X)                     # (N, K, P)
 
-    def row_loglik(Z):
-        w = jnp.einsum("nk,nkp->np", Z, T, **_HI)
-        quad = rss_rows_from_coeffs(data, w)
-        return -beta * quad / (2.0 * state.sigma2)
+    def row_loglik2(Z2):
+        """Stacked (2, N, K) -> (2, N) row log-likelihoods in one pass."""
+        w = jnp.einsum("enk,nkp->enp", Z2, T, **_HI)
+        if getattr(data, "identity_basis", False):
+            r = data.y[None] - w
+        else:
+            r = data.y[None] - jnp.einsum("nlp,enp->enl", data.B, w, **_HI)
+        return -beta * jnp.sum(r * r, axis=-1) / (2.0 * state.sigma2)
 
     def row_lprior(Z):
         return jnp.sum((state.alpha3 * state.pi - 1.0) * jnp.log(Z), axis=1)
@@ -172,8 +178,9 @@ def update_z(key, state, data, hp, cache: SweepCache, beta=1.0):
     prop_keys = jax.random.split(kp, data.N)
     Z_new = jax.vmap(rdirichlet)(prop_keys, hp.a_Z_PM * state.Z)
 
-    lp_old = row_loglik(state.Z) + row_lprior(state.Z)
-    lp_new = row_loglik(Z_new) + row_lprior(Z_new)
+    ll = row_loglik2(jnp.stack([state.Z, Z_new]))
+    lp_old = ll[0] + row_lprior(state.Z)
+    lp_new = ll[1] + row_lprior(Z_new)
     # Hastings correction for the Dirichlet random walk
     q_fwd = dirichlet_logpdf_unnormalized(Z_new, hp.a_Z_PM * state.Z)
     q_bwd = dirichlet_logpdf_unnormalized(state.Z, hp.a_Z_PM * Z_new)
@@ -260,17 +267,23 @@ def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
     Mm = state.M
     eyeM = jnp.eye(Mm, dtype=state.chi.dtype)
 
-    def row_stats(Z):
-        a = jnp.einsum("nk,nkp->np", Z, Tm, **_HI)           # (N, P)
-        U = jnp.einsum("nk,nkpm->npm", Z, V, **_HI)          # (N, P, M)
+    def row_stats(Z2):
+        """Stacked endpoints: Z2 (E, N, K) -> per-endpoint stats (E, ...).
+
+        One batched pass for both MH endpoints halves the dispatch count of
+        the kernel's large einsums (per-sweep-latency, VERDICT #4)."""
+        a = jnp.einsum("enk,nkp->enp", Z2, Tm, **_HI)         # (E, N, P)
+        U = jnp.einsum("enk,nkpm->enpm", Z2, V, **_HI)        # (E, N, P, M)
         if data.identity_basis:
             GU, Ga = U, a
+            r = data.y[None] - a
         else:
-            GU = jnp.einsum("npq,nqm->npm", data.G, U, **_HI)
-            Ga = jnp.einsum("npq,nq->np", data.G, a, **_HI)
-        C = eyeM + s * jnp.einsum("npm,npl->nml", U, GU, **_HI)
-        Fr = jnp.einsum("npm,np->nm", U, data.u - Ga, **_HI)  # F_i' r_i
-        rr = rss_rows_from_coeffs(data, a)                    # residual space
+            GU = jnp.einsum("npq,enqm->enpm", data.G, U, **_HI)
+            Ga = jnp.einsum("npq,enq->enp", data.G, a, **_HI)
+            r = data.y[None] - jnp.einsum("nlp,enp->enl", data.B, a, **_HI)
+        C = eyeM + s * jnp.einsum("enpm,enpl->enml", U, GU, **_HI)
+        Fr = jnp.einsum("enpm,enp->enm", U, data.u[None] - Ga, **_HI)
+        rr = jnp.sum(r * r, axis=-1)                           # residual space
         Lc = jnp.linalg.cholesky(C)   # eigenvalues >= 1: no jitter needed
         return a, U, Lc, Fr, rr
 
@@ -302,8 +315,9 @@ def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
         return jnp.logaddexp(jnp.log(p_indep) + ld_ind,
                              jnp.log1p(-p_indep) + ld_rw)
 
-    a_o, U_o, Lc_o, Fr_o, rr_o = row_stats(state.Z)
-    a_n, U_n, Lc_n, Fr_n, rr_n = row_stats(Z_new)
+    a2, U2, Lc2, Fr2, rr2 = row_stats(jnp.stack([state.Z, Z_new]))
+    (a_o, a_n), (U_o, U_n) = a2, U2
+    (Lc_o, Lc_n), (Fr_o, Fr_n), (rr_o, rr_n) = Lc2, Fr2, rr2
     lp_old = marg_loglik(Lc_o, Fr_o, rr_o) + row_lprior(state.Z)
     lp_new = marg_loglik(Lc_n, Fr_n, rr_n) + row_lprior(Z_new)
     log_acc = (lp_new - lp_old
@@ -587,6 +601,40 @@ def update_chi(key, state, data, hp, cache: SweepCache, beta=1.0):
 
     chi, w = jax.lax.fori_loop(0, M, body, (state.chi, cache.w),
                                unroll=_unroll(M))
+    return state.replace(chi=chi), cache.replace(w=w)
+
+
+def update_chi_joint(key, state, data, hp, cache: SweepCache, beta=1.0):
+    """Exact JOINT draw of every chi row (all M scores at once).
+
+    NOT a reference kernel: updateChi (UpdateChi.h:19-64) Gibbs-scans the M
+    scores sequentially; the joint conditional of the whole row chi_i is
+    Gaussian with precision I_M + s U_i'G_i U_i and linear term
+    s U_i'(u_i - G_i a_i) — one batched M x M Cholesky over N observations
+    replaces M sequential dependent steps (same joint chi machinery as
+    update_z_chi's redraw; exactness covered by the collapsed-sweep Geweke
+    test).  Used by the production sweep."""
+    s = beta / state.sigma2
+    U = eigen_directions(state, data.X)                      # (N, P, M)
+    a = cache.w - jnp.einsum("npm,nm->np", U, state.chi, **_HI)
+    if data.identity_basis:
+        GU, Ga = U, a
+    else:
+        GU = jnp.einsum("npq,nqm->npm", data.G, U, **_HI)
+        Ga = jnp.einsum("npq,nq->np", data.G, a, **_HI)
+    Mm = state.M
+    C = jnp.eye(Mm, dtype=state.chi.dtype) \
+        + s * jnp.einsum("npm,npl->nml", U, GU, **_HI)
+    b = s * jnp.einsum("npm,np->nm", U, data.u - Ga, **_HI)
+    Lc = jnp.linalg.cholesky(C)
+    z = jax.random.normal(key, (data.N, Mm), state.chi.dtype)
+    hw = jax.scipy.linalg.solve_triangular(Lc, b[..., None], lower=True)
+    mean = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(Lc, -1, -2), hw, lower=False)[..., 0]
+    noise = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(Lc, -1, -2), z[..., None], lower=False)[..., 0]
+    chi = mean + noise
+    w = a + jnp.einsum("npm,nm->np", U, chi, **_HI)
     return state.replace(chi=chi), cache.replace(w=w)
 
 
@@ -988,7 +1036,10 @@ def sweep_full(key, state, data, hp, c, *, covariate_mean=False,
     state, cache = update_nu(ks[7], state, data, hp, cache, beta)
     state = update_tau(ks[8], state, data, hp)
     state = update_sigma(ks[9], state, data, hp, cache, beta)
-    state, cache = update_chi(ks[10], state, data, hp, cache, beta)
+    if collapsed_z:
+        state, cache = update_chi_joint(ks[10], state, data, hp, cache, beta)
+    else:
+        state, cache = update_chi(ks[10], state, data, hp, cache, beta)
     if covariate_mean:
         state, cache = update_eta(ks[11], state, data, hp, cache, beta)
         state = update_tau_eta(ks[12], state, data, hp)
