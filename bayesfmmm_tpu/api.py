@@ -218,7 +218,7 @@ def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
                    n_temp_trans=0, beta_N_t=1.0, N_t=1, n_chains=1,
                    priors: Priors | None = None, directory=None,
                    r_stored_iters=None, seed=2, kernels="reference",
-                   progress=False, progress_every=100):
+                   progress=True, progress_every=100):
     """Phase 3 — production sampler warm-started from phase-1/2 medians.
 
     Mirrors BFMMM_warm_start (UserFunctions.cpp:1341): per-element posterior
@@ -230,12 +230,14 @@ def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
     "production" swaps in the collapsed (Z, chi) block and gauge moves
     (ops/gibbs.py) — same posterior (Geweke-proven), better mixing.
 
-    progress: True (or a ProgressStream) prints rolling log-likelihood
-    every ``progress_every`` iterations (BFMMM.h:870-875 analog).  With
-    progress enabled the run executes in ``progress_every``-iteration
-    compiled chunks, so Ctrl-C lands at a chunk boundary instead of inside
-    one monolithic multi-hour scan (Rcpp::checkUserInterrupt analog,
-    BFMMM.h:203).
+    progress: True (the default, matching the reference's unconditional
+    progress prints) or a ProgressStream prints rolling log-likelihood
+    every ``progress_every`` iterations (BFMMM.h:870-875 analog); pass
+    False for a silent run.  With progress enabled the run executes in
+    ``progress_every``-iteration compiled chunks (balanced so at most two
+    chunk sizes compile), so Ctrl-C lands at a chunk boundary instead of
+    inside one monolithic multi-hour scan (Rcpp::checkUserInterrupt
+    analog, BFMMM.h:203).
     """
     validation.validate_fit_args(tot_mcmc_iters=tot_mcmc_iters,
                                  burnin_prop=burnin_prop)
@@ -300,8 +302,14 @@ def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
         from bayesfmmm_tpu.utils.observability import ProgressStream
         stream = progress if hasattr(progress, "update") \
             else ProgressStream(every=1)
-        chunk = max(thinning_num,
-                    (progress_every // thinning_num) * thinning_num)
+        # balanced chunk sizes (units of thinning_num sweeps): at most two
+        # distinct sizes so the chunked path costs at most two compiles
+        n_units = max(1, tot_mcmc_iters // thinning_num)
+        per_chunk = max(1, progress_every // thinning_num)
+        n_chunks = -(-n_units // per_chunk)
+        base, extra = divmod(n_units, n_chunks)
+        sizes = ([(base + 1) * thinning_num] * extra
+                 + [base * thinning_num] * (n_chunks - extra))
         keys = jax.random.split(key, n_chains)
         init_keys = jax.random.split(jax.random.fold_in(key, 999), n_chains)
         states = jax.jit(jax.vmap(
@@ -323,16 +331,13 @@ def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
             return run_cache[n](ck, sts)
 
         done, t_parts, ll_parts = 0, [], []
-        ci = 0
-        while done < tot_mcmc_iters:
-            n = min(chunk, tot_mcmc_iters - done)
+        for ci, n in enumerate(sizes):
             ck = jax.vmap(lambda k: jax.random.fold_in(k, ci))(keys)
             res = run_chunk(n, ck, states)
             states = res.final_state
             ll_parts.append(np.asarray(res.loglik))
             t_parts.append({k: np.asarray(v) for k, v in res.traces.items()})
             done += n
-            ci += 1
             stream.update(done - 1, ll_parts[-1].mean(axis=0))
         loglik = np.concatenate(ll_parts, axis=1)
         best = int(drivers.best_chain(loglik,
@@ -376,6 +381,8 @@ def fit_pt(nu_z_result: FitResult, theta_result: FitResult, *,
     """
     validation.validate_fit_args(tot_mcmc_iters=tot_mcmc_iters,
                                  burnin_prop=burnin_prop)
+    if kernels not in ("reference", "production"):
+        raise ValueError("kernels must be 'reference' or 'production'")
     if n_replicas < 2:
         raise ValueError("'n_replicas' must be at least 2")
     if not (0.0 < beta_min <= 1.0):
@@ -404,11 +411,13 @@ def fit_pt(nu_z_result: FitResult, theta_result: FitResult, *,
             xi=est2["xi"], gamma_xi=est2["gamma_xi"],
             delta_xi=est2["delta_xi"], A_xi=est2["A_xi"])
 
+    use_production = kernels == "production"
     replicas = jax.jit(jax.vmap(seed_replica))(init_keys)
     cold_trace, pt, swap_rate = run_parallel_tempering(
         key, replicas, data, hp, c_vec, n_rounds=tot_mcmc_iters,
         beta_min=beta_min, n_sweeps_between=n_sweeps_between,
-        covariate_mean=cfg.covariate_mean, covariate_cov=cfg.covariate_cov)
+        covariate_mean=cfg.covariate_mean, covariate_cov=cfg.covariate_cov,
+        collapsed_z=use_production, gauge=use_production)
     traces = {f: np.asarray(getattr(cold_trace, f))
               for f in drivers._TRACE_FIELDS}
     ll = np.asarray(jax.jit(jax.vmap(
@@ -515,7 +524,8 @@ _FIT_PHASE1_KW = frozenset({"basis_degree", "internal_knots",
 _FIT_PHASE2_KW = frozenset({"burnin_prop"})
 _FIT_PHASE3_KW = frozenset({"thinning_num", "n_temp_trans", "beta_N_t",
                             "N_t", "n_chains", "r_stored_iters",
-                            "burnin_prop"})
+                            "burnin_prop", "kernels", "progress",
+                            "progress_every"})
 
 
 def fit(Y=None, time=None, *, K, M, data=None, X=None, family="functional",

@@ -55,7 +55,6 @@ from bayesfmmm_tpu.ops.mean import (
     eigen_directions,
     feature_offsets,
     rss_from_coeffs,
-    rss_rows_from_coeffs,
 )
 
 _HI = dict(precision="highest")
@@ -224,7 +223,8 @@ def update_z(key, state, data, hp, cache: SweepCache, beta=1.0):
 # variance sigma2/beta, so marginalizing chi gives the covariance above and
 # the chi redraw precision I + beta F'F/sigma2 — matching updateChiTempered
 # (UpdateChi.h:79-134).  Joint invariance is proven by the Geweke test of
-# the collapsed sweep (tests/test_geweke.py).
+# the collapsed sweep (tests/test_geweke_covadj.py::
+# test_geweke_collapsed_gauge_sweep).
 # ---------------------------------------------------------------------------
 
 def _mean_only_offsets(state, X):
@@ -692,15 +692,20 @@ def update_delta(key, state, hp):
     K, P, M = state.Phi.shape
     S = jnp.sum(state.gamma * state.Phi**2, axis=1)  # (K, M)
     m_idx = jnp.arange(M)
+    # The Gamma SHAPES depend only on A (fixed during this update), so all
+    # M standard-Gamma variates come from ONE batched rejection sampler
+    # instead of M sequential while_loops; only the rates are sequential
+    # (delta_i | delta_{<i}), and G_i / rate_i ~ Gamma(shape_i, rate_i)
+    # exactly as before (per-sweep-latency, round-3 VERDICT #4).
+    shapes = jnp.where(m_idx[None, :] == 0, state.A[:, :1], state.A[:, 1:2]) \
+        + P * (M - m_idx)[None, :] / 2.0                     # (K, M)
+    G = jax.random.gamma(key, shapes)
 
     def body(i, delta):
         cp = jnp.cumprod(delta.at[:, i].set(1.0), axis=1)   # (K, M)
         tail = jnp.where(m_idx[None, :] >= i, cp * S, 0.0)
         rate = 1.0 + 0.5 * jnp.sum(tail, axis=1)            # (K,)
-        shape = jnp.where(i == 0, state.A[:, 0], state.A[:, 1]) \
-            + P * (M - i) / 2.0
-        g = jax.random.gamma(jax.random.fold_in(key, i), shape)
-        return delta.at[:, i].set(g / rate)
+        return delta.at[:, i].set(G[:, i] / rate)
 
     delta = jax.lax.fori_loop(0, M, body, state.delta, unroll=_unroll(M))
     return state.replace(delta=delta)
@@ -718,15 +723,17 @@ def update_delta_xi(key, state, hp):
     # S[k, m, d] = sum_j gamma_xi[k,j,d,m] * xi[k,j,d,m]^2
     S = jnp.sum(state.gamma_xi * state.xi**2, axis=1).transpose(0, 2, 1)  # (K, M, D)
     m_idx = jnp.arange(M)
+    # one batched standard-Gamma draw for all M columns (see update_delta)
+    shapes = jnp.where(m_idx[None, :, None] == 0,
+                       state.A_xi[:, None, 0, :], state.A_xi[:, None, 1, :]) \
+        + (P * (M - m_idx) / 2.0)[None, :, None]              # (K, M, D)
+    G = jax.random.gamma(key, shapes)
 
     def body(i, delta):
         cp = jnp.cumprod(delta.at[:, i, :].set(1.0), axis=1)  # (K, M, D)
         tail = jnp.where(m_idx[None, :, None] >= i, cp * S, 0.0)
         rate = 1.0 + 0.5 * jnp.sum(tail, axis=1)              # (K, D)
-        shape = jnp.where(i == 0, state.A_xi[:, 0, :], state.A_xi[:, 1, :]) \
-            + P * (M - i) / 2.0
-        g = jax.random.gamma(jax.random.fold_in(key, i), shape)
-        return delta.at[:, i, :].set(g / rate)
+        return delta.at[:, i, :].set(G[:, i, :] / rate)
 
     delta_xi = jax.lax.fori_loop(0, M, body, state.delta_xi,
                                  unroll=_unroll(M))
@@ -827,6 +834,14 @@ def update_a_xi(key, state, hp):
 #       form of the reference's post-hoc "rescale" identifiability
 #       transform (PostProcessing.cpp:203-220) — the convex-hull gauge.
 #   (b) eigen rescale: chi[:, m] <- chi/s, (Phi, xi)[..., m] <- s * (...).
+#   (c) eigen ROTATION: for any orthogonal R (M x M),
+#         chi <- chi R,  Phi_k <- Phi_k R,  xi_kd <- xi_kd R;
+#       every mean term U_n chi_n = (U_n R)(R' chi_n) is untouched.  The
+#       chi prior N(0, I_M) is rotation-invariant and all three blockwise
+#       Jacobians are +/-1, so acceptance reduces to the MGP prior terms
+#       of Phi (and xi) alone — the direction neither (a) nor (b) covers
+#       (round-3 VERDICT #2a: the loglik/fit-quality ridge lives in the
+#       eigen-subspace orientation, which only a rotation can slide).
 #
 # The posterior is NOT invariant (priors and Jacobians break the symmetry),
 # so these directions form a near-flat ridge that the conditional kernels
@@ -841,7 +856,8 @@ def update_a_xi(key, state, hp):
 #   (b) log|J| = (K*P*(1 + D) - N) * log s
 # Both moves leave every likelihood factor untouched, so beta-tempering
 # does not enter.  Exactness is covered by the Geweke joint-invariance test
-# of the production sweep (tests/test_geweke.py).
+# of the production sweep (tests/test_geweke_covadj.py::
+# test_geweke_collapsed_gauge_sweep).
 # ---------------------------------------------------------------------------
 
 def _gauge_logprior(state, data, hp):
@@ -894,16 +910,36 @@ def _rescale_eigen(state, data, em, log_s):
     return state.replace(**new)
 
 
+def _rotate_eigen(state, data, m1, m2, theta):
+    """Apply the Givens rotation of eigen-columns (m1, m2) by theta to
+    (chi, Phi[, xi]) — the exact likelihood invariance (c) above."""
+    dt = state.chi.dtype
+    M = state.M
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    e1 = jax.nn.one_hot(m1, M, dtype=dt)
+    e2 = jax.nn.one_hot(m2, M, dtype=dt)
+    R = (jnp.eye(M, dtype=dt)
+         + (c - 1.0) * (jnp.outer(e1, e1) + jnp.outer(e2, e2))
+         + s * (jnp.outer(e2, e1) - jnp.outer(e1, e2)))
+    new = dict(chi=state.chi @ R,
+               Phi=jnp.einsum("kpm,ml->kpl", state.Phi, R, **_HI))
+    if data.D > 0:
+        new["xi"] = jnp.einsum("kpdm,ml->kpdl", state.xi, R, **_HI)
+    return state.replace(**new)
+
+
 def update_gauge(key, state, data, hp, *, sigma_mix=0.3, sigma_scale=0.3,
-                 n_mix=1, n_scale=1):
-    """Gauge MH moves: ``n_mix`` random feature-pair mixing proposals and
-    ``n_scale`` random eigen-index rescale proposals per call.
+                 sigma_rotate=0.5, n_mix=1, n_scale=1, n_rotate=1):
+    """Gauge MH moves: ``n_mix`` random feature-pair mixing proposals,
+    ``n_scale`` random eigen-index rescale proposals, and ``n_rotate``
+    random eigen-pair Givens-rotation proposals per call.
 
     One move of each kind per sweep suffices — the gauge subspace is only
-    K(K-1)+M dimensional and each accepted move is a macroscopic slide
-    along it, so its mixing time is decoupled from the conditional sweep's;
-    keeping the count at 1 keeps the kernel's latency cost ~2 small fused
-    blocks instead of K(K-1)+M sequential ones."""
+    K(K-1)+M+M(M-1)/2 dimensional and each accepted move is a macroscopic
+    slide along it, so its mixing time is decoupled from the conditional
+    sweep's; keeping the count at 1 keeps the kernel's latency cost ~3
+    small fused blocks instead of one per gauge dimension."""
     K, M = state.K, state.M
     P = state.nu.shape[1]
     D = data.D
@@ -945,11 +981,35 @@ def update_gauge(key, state, data, hp, *, sigma_mix=0.3, sigma_scale=0.3,
         lp = jnp.where(ok, lp_new, lp)
         return st, lp
 
+    def rotate_body(i, carry):
+        # Givens rotation of a random ordered eigen-pair; theta ~ N(0, s^2)
+        # is a symmetric proposal and all Jacobians are unity, so the MH
+        # ratio is the prior ratio alone (invariance (c) above).
+        st, lp = carry
+        ki = jax.random.fold_in(key, 15485863 + i)
+        km, ke, ku = jax.random.split(ki, 3)
+        idx = jax.random.randint(km, (), 0, M * (M - 1))
+        m1 = idx // (M - 1)
+        rem = idx % (M - 1)
+        m2 = jnp.where(rem >= m1, rem + 1, rem)
+        theta = sigma_rotate * jax.random.normal(ke, dtype=state.nu.dtype)
+        prop = _rotate_eigen(st, data, m1, m2, theta)
+        lp_new = _gauge_logprior(prop, data, hp)
+        log_acc = lp_new - lp
+        ok = jnp.log(jax.random.uniform(ku)) < jnp.nan_to_num(
+            log_acc, nan=-jnp.inf)
+        st = jax.tree.map(lambda n, o: jnp.where(ok, n, o), prop, st)
+        lp = jnp.where(ok, lp_new, lp)
+        return st, lp
+
     lp0 = _gauge_logprior(state, data, hp)
     state, lp = jax.lax.fori_loop(0, n_mix, mix_body, (state, lp0),
                                   unroll=_unroll(n_mix))
-    state, _ = jax.lax.fori_loop(0, n_scale, scale_body, (state, lp),
-                                 unroll=_unroll(n_scale))
+    state, lp = jax.lax.fori_loop(0, n_scale, scale_body, (state, lp),
+                                  unroll=_unroll(n_scale))
+    if M >= 2:
+        state, _ = jax.lax.fori_loop(0, n_rotate, rotate_body, (state, lp),
+                                     unroll=_unroll(n_rotate))
     return state
 
 
@@ -1007,7 +1067,7 @@ def sweep_theta(key, state, data, hp, *, covariate_mean=False,
 
 def sweep_full(key, state, data, hp, c, *, covariate_mean=False,
                covariate_cov=False, beta=1.0, collapsed_z=False,
-               gauge=False):
+               gauge=False, p_indep=0.1):
     """Phase-3 (production) sweep.
 
     Plain order (BFMMM.h:1500-1554): Z, pi, alpha3, Phi, delta, A, gamma,
@@ -1024,7 +1084,8 @@ def sweep_full(key, state, data, hp, c, *, covariate_mean=False,
     ks = _keys(key, 17)
     cache = build_cache(data, state)
     if collapsed_z:
-        state, cache = update_z_chi(ks[0], state, data, hp, cache, beta)
+        state, cache = update_z_chi(ks[0], state, data, hp, cache, beta,
+                                    p_indep=p_indep)
     else:
         state, cache = update_z(ks[0], state, data, hp, cache, beta)
     state = update_pi(ks[1], state, hp, c)

@@ -57,11 +57,17 @@ def pt_init(states):
 
 def pt_step(key, pt: PTState, data, hp, c, ladder, *, parity,
             covariate_mean=False, covariate_cov=False,
-            n_sweeps_between=1):
+            n_sweeps_between=1, collapsed_z=False, gauge=False):
     """One PT round: tempered sweeps on every replica + one swap phase.
 
     parity: 0 swaps pairs (0,1),(2,3),...; 1 swaps (1,2),(3,4),... —
     alternate between calls for full ladder connectivity.
+
+    collapsed_z/gauge select the production kernels for every replica's
+    sweep (ops/gibbs.py update_z_chi / update_gauge).  Both are valid at
+    any temperature: the collapsed kernel's chi-marginal uses the tempered
+    effective variance sigma2/beta, and the gauge moves touch no
+    likelihood factor at all.
     """
     R = ladder.shape[0]
     k_sweep, k_swap = jax.random.split(key)
@@ -71,7 +77,8 @@ def pt_step(key, pt: PTState, data, hp, c, ladder, *, parity,
             return gibbs.sweep_full(kk, s, data, hp, c,
                                     covariate_mean=covariate_mean,
                                     covariate_cov=covariate_cov,
-                                    beta=beta), None
+                                    beta=beta, collapsed_z=collapsed_z,
+                                    gauge=gauge), None
         ks = jax.random.split(k, n_sweeps_between)
         st, _ = jax.lax.scan(body, st, ks)
         return st
@@ -105,7 +112,8 @@ def pt_step(key, pt: PTState, data, hp, c, ladder, *, parity,
 
 def run_parallel_tempering(key, init_states, data, hp, c, *, n_rounds,
                            beta_min=0.3, n_sweeps_between=1,
-                           covariate_mean=False, covariate_cov=False):
+                           covariate_mean=False, covariate_cov=False,
+                           collapsed_z=False, gauge=False):
     """Run PT; returns (cold-chain trace dict, PTState, swap rate).
 
     init_states: replica-stacked GibbsState (leading axis R).
@@ -120,7 +128,8 @@ def run_parallel_tempering(key, init_states, data, hp, c, *, n_rounds,
         pt = pt_step(k, pt, data, hp, c, ladder, parity=i % 2,
                      covariate_mean=covariate_mean,
                      covariate_cov=covariate_cov,
-                     n_sweeps_between=n_sweeps_between)
+                     n_sweeps_between=n_sweeps_between,
+                     collapsed_z=collapsed_z, gauge=gauge)
         cold = jax.tree.map(lambda x: x[0], pt.states)
         return (pt,), cold
 

@@ -48,7 +48,7 @@ def _blocked_seq_flops(B, N, P, identity_basis):
 
 def sweep_flops(N, L, P, K, M, D=0, *, identity_basis=False,
                 collapsed_z=False, covariate_mean=False,
-                covariate_cov=False, joint_max_dim=4096):
+                covariate_cov=False, gauge=False, joint_max_dim=4096):
     """FLOPs of one ops/gibbs.sweep_full call (one chain, one iteration),
     including the driver-level log_likelihood evaluation."""
     f = {}
@@ -107,6 +107,21 @@ def sweep_flops(N, L, P, K, M, D=0, *, identity_basis=False,
             f["xi"] = _blocked_seq_flops(B_xi, N, P, identity_basis)
         f["mgp_xi"] = 6.0 * K * P * M * D + 60.0 * K * M * D
 
+    if gauge:
+        # update_gauge (ops/gibbs.py): one feature-mix + one eigen-rescale
+        # MH move; NO likelihood evaluation — cost is three
+        # _gauge_logprior evaluations (lp0, mix proposal, scale proposal)
+        # plus the transform maps and accept-selects over the state pytree.
+        per_lp = (12.0 * N * K          # Z log-prior term
+                  + 2.0 * K * P * P     # tau penalty quadform
+                  + 3.0 * K * P * M     # MGP Phi term (cumprod + mult-sum)
+                  + 2.0 * N * M)        # chi standard-normal term
+        if D:
+            per_lp += 2.0 * K * P * P * D + 3.0 * K * P * D * M
+        transforms = 2.0 * (4.0 * N * K + 3.0 * K * P * (1.0 + M) + N * M)
+        if D:
+            transforms += 2.0 * 3.0 * K * P * D * (1.0 + M)
+        f["gauge"] = 3.0 * per_lp + transforms
     f["loglik"] = rss + 10.0 * N
     f["total"] = float(sum(f.values()))
     return f

@@ -51,7 +51,7 @@ def cost_stats(compiled, elapsed_s: float, *, flops=None, bytes_=None,
     REQUIRED for scan/while programs: XLA's cost analysis does NOT multiply
     loop bodies by trip count (round-2 VERDICT weak #3), so for an N-iter
     scan pass ``flops = per_sweep_flops * n_chains * n_iters`` from
-    benchmarks/flops.py (analytic, validated within 2% of a one-sweep XLA
+    benchmarks/flops.py (analytic, validated within 2x of a one-sweep XLA
     measure by tests/test_flops_accounting.py).
     """
     ca = compiled.cost_analysis() if compiled is not None else {}

@@ -100,6 +100,16 @@ def test_gauge_maps_exact_mu_invariance():
     st3 = gibbs._mix_features(st1, data, eyeK[0], eyeK[2], jnp.asarray(-0.4))
     assert float(jnp.max(jnp.abs(st3.nu - st.nu))) < 1e-4
     assert float(jnp.max(jnp.abs(st3.Z - st.Z))) < 1e-5
+    # eigen rotation: mu invariant, chi norms invariant, inverse composes
+    st4 = gibbs._rotate_eigen(st, data, jnp.asarray(0), jnp.asarray(2),
+                              jnp.asarray(0.9))
+    assert float(jnp.max(jnp.abs(compute_mu(data, st4) - mu0))) < 1e-4
+    assert float(jnp.max(jnp.abs(
+        jnp.sum(st4.chi**2, 1) - jnp.sum(st.chi**2, 1)))) < 1e-4
+    st5 = gibbs._rotate_eigen(st4, data, jnp.asarray(0), jnp.asarray(2),
+                              jnp.asarray(-0.9))
+    assert float(jnp.max(jnp.abs(st5.Phi - st.Phi))) < 1e-5
+    assert float(jnp.max(jnp.abs(st5.chi - st.chi))) < 1e-5
 
 
 def test_gauge_kernel_preserves_likelihood_and_simplex():

@@ -25,13 +25,16 @@ from bayesfmmm_tpu.utils.simulate import (simulate_functional,
                                           simulate_multivariate)
 
 
-@pytest.mark.parametrize("family,collapsed,D", [
-    ("functional", False, 0),
-    ("functional", True, 0),
-    ("functional", False, 2),
-    ("multivariate", False, 0),
+@pytest.mark.parametrize("family,collapsed,D,gauge", [
+    ("functional", False, 0, False),
+    ("functional", True, 0, False),
+    ("functional", False, 2, False),
+    ("multivariate", False, 0, False),
+    # the headline configuration (bench.py): gauge moves on
+    ("functional", False, 0, True),
+    ("functional", True, 0, True),
 ])
-def test_analytic_flops_within_2x_of_xla(family, collapsed, D):
+def test_analytic_flops_within_2x_of_xla(family, collapsed, D, gauge):
     from flops import measured_one_sweep_flops, sweep_flops
 
     K, P, M, N = 3, 8, 4, 60
@@ -50,7 +53,8 @@ def test_analytic_flops_within_2x_of_xla(family, collapsed, D):
 
     def step(k, s):
         s = gibbs.sweep_full(k, s, data, hp, c, covariate_mean=covm,
-                             covariate_cov=covc, collapsed_z=collapsed)
+                             covariate_cov=covc, collapsed_z=collapsed,
+                             gauge=gauge)
         return s, log_likelihood(s, data)
 
     xla, _ = measured_one_sweep_flops(step, jax.random.PRNGKey(1), st)
@@ -59,6 +63,6 @@ def test_analytic_flops_within_2x_of_xla(family, collapsed, D):
     ana = sweep_flops(N, int(data.L), int(data.P), K, M, D,
                       identity_basis=bool(data.identity_basis),
                       collapsed_z=collapsed, covariate_mean=covm,
-                      covariate_cov=covc)["total"]
+                      covariate_cov=covc, gauge=gauge)["total"]
     ratio = xla / ana
     assert 0.5 < ratio < 2.0, (xla, ana, ratio)
