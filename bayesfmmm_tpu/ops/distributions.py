@@ -101,17 +101,30 @@ def chol_precision(prec, *, jitter=1e-6):
 
     Factored out of mvn_from_precision so blocked-Gibbs kernels can batch
     the factorization of every block's precision upfront (ops/gibbs.py) and
-    keep only triangular solves inside their sequential loops."""
+    keep only triangular solves inside their sequential loops.  Small
+    dimensions route through the entrywise-unrolled factorization — the
+    stock lowering's while-loop iteration overhead dominates the sweep's
+    latency chain (ops/linalg.py docstring)."""
+    from bayesfmmm_tpu.ops import linalg
     P = prec.shape[-1]
     scale = jnp.trace(prec, axis1=-2, axis2=-1) / P + 1.0
     A = prec + (jitter * scale)[..., None, None] * jnp.eye(P, dtype=prec.dtype)
-    return jnp.linalg.cholesky(A)
+    return linalg.small_chol(A)     # falls back to stock above M=8
 
 
 def mvn_from_chol(key, L, b):
-    """Sample N(prec^{-1} b, prec^{-1}) given L = chol(prec); (sample, mean)."""
+    """Sample N(prec^{-1} b, prec^{-1}) given L = chol(prec); (sample, mean).
+
+    Dimensions <= 8 use the unrolled substitutions (no while-loop latency,
+    ops/linalg.py); larger ones the stock triangular solves."""
+    from bayesfmmm_tpu.ops import linalg
+    z = jax.random.normal(key, b.shape, dtype=b.dtype)
+    if b.shape[-1] <= linalg.SMALL_MAX_DIM:
+        w = linalg.small_solve_lower(L, b)
+        mean = linalg.small_solve_upper_t(L, w)
+        noise = linalg.small_solve_upper_t(L, z)
+        return mean + noise, mean
     w = solve_triangular(L, b[..., None], lower=True)
     mean = solve_triangular(L.conj().mT, w, lower=False)[..., 0]
-    z = jax.random.normal(key, b.shape, dtype=b.dtype)
     noise = solve_triangular(L.conj().mT, z[..., None], lower=False)[..., 0]
     return mean + noise, mean

@@ -44,10 +44,16 @@ from bayesfmmm_tpu.ops.distributions import (
     dirichlet_logpdf_unnormalized,
     log_multi_beta,
     mvn_from_chol,
-    mvn_from_precision,
     rdirichlet,
     truncnorm_logpdf,
     truncnorm_sample,
+)
+from bayesfmmm_tpu.ops.linalg import (
+    mvn_from_precision_fused,
+    small_chol,
+    small_chol_logdet,
+    small_solve_lower,
+    small_solve_upper_t,
 )
 from bayesfmmm_tpu.ops.mean import (
     SweepCache,
@@ -137,7 +143,10 @@ def _joint_blocked_draw(key, data, s, W, prior_diag, blocks_cur, w):
     bvec = s * jnp.einsum("bn,np->bp", W, resid, **_HI).reshape(B * P)
     A = (s * A).reshape(B * P, B * P) \
         + jnp.diag(prior_diag.reshape(B * P))
-    new, _ = mvn_from_precision(key, A, bvec)
+    # fused factor+solve: XLA's stock batched cholesky/triangular_solve at
+    # D~96 are the sweep's latency bottleneck (ops/linalg.py docstring);
+    # on TPU the chain-vmapped call routes to the Pallas batch-minor kernel
+    new, _ = mvn_from_precision_fused(key, A, bvec)
     blocks_new = new.reshape(B, P)
     w_new = w_excl + jnp.einsum("bn,bp->np", W, blocks_new, **_HI)
     return blocks_new, w_new
@@ -170,20 +179,26 @@ def update_z(key, state, data, hp, cache: SweepCache, beta=1.0):
             r = data.y[None] - jnp.einsum("nlp,enp->enl", data.B, w, **_HI)
         return -beta * jnp.sum(r * r, axis=-1) / (2.0 * state.sigma2)
 
-    def row_lprior(Z):
-        return jnp.sum((state.alpha3 * state.pi - 1.0) * jnp.log(Z), axis=1)
+    def row_lprior2(Z2):
+        return jnp.sum((state.alpha3 * state.pi - 1.0) * jnp.log(Z2),
+                       axis=-1)
 
     kp, ka = jax.random.split(key)
     prop_keys = jax.random.split(kp, data.N)
     Z_new = jax.vmap(rdirichlet)(prop_keys, hp.a_Z_PM * state.Z)
 
-    ll = row_loglik2(jnp.stack([state.Z, Z_new]))
-    lp_old = ll[0] + row_lprior(state.Z)
-    lp_new = ll[1] + row_lprior(Z_new)
-    # Hastings correction for the Dirichlet random walk
-    q_fwd = dirichlet_logpdf_unnormalized(Z_new, hp.a_Z_PM * state.Z)
-    q_bwd = dirichlet_logpdf_unnormalized(state.Z, hp.a_Z_PM * Z_new)
-    log_acc = lp_new - lp_old + q_bwd - q_fwd
+    Z2 = jnp.stack([state.Z, Z_new])
+    ll = row_loglik2(Z2)
+    lpr = row_lprior2(Z2)
+    lp_old = ll[0] + lpr[0]
+    lp_new = ll[1] + lpr[1]
+    # Hastings correction for the Dirichlet random walk — both directions
+    # in ONE stacked density call (halves the lgamma op count; lgamma is
+    # among the sweep's priciest VPU transcendentals)
+    q2 = dirichlet_logpdf_unnormalized(
+        jnp.stack([Z_new, state.Z]),
+        hp.a_Z_PM * jnp.stack([state.Z, Z_new]))
+    log_acc = lp_new - lp_old + q2[1] - q2[0]
 
     # Auto-accept escape hatch when the current row touched the boundary
     # (UpdateMixedMembership.h:170-174).
@@ -284,19 +299,21 @@ def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
         C = eyeM + s * jnp.einsum("enpm,enpl->enml", U, GU, **_HI)
         Fr = jnp.einsum("enpm,enp->enm", U, data.u[None] - Ga, **_HI)
         rr = jnp.sum(r * r, axis=-1)                           # residual space
-        Lc = jnp.linalg.cholesky(C)   # eigenvalues >= 1: no jitter needed
+        # entrywise-unrolled Cholesky: the stock batched (.., M, M) path is
+        # tile-padded ~256x per step (ops/linalg.py); eigenvalues >= 1 so
+        # no jitter is needed
+        Lc = small_chol(C)
         return a, U, Lc, Fr, rr
 
     def marg_loglik(Lc, Fr, rr):
-        logdet = 2.0 * jnp.sum(jnp.log(
-            jnp.diagonal(Lc, axis1=-2, axis2=-1)), axis=-1)
-        wv = jax.scipy.linalg.solve_triangular(
-            Lc, Fr[..., None], lower=True)[..., 0]
+        logdet = small_chol_logdet(Lc)
+        wv = small_solve_lower(Lc, Fr)
         quad = s * rr - s * s * jnp.sum(wv * wv, axis=-1)
         return -0.5 * (logdet + quad)
 
-    def row_lprior(Z):
-        return jnp.sum((state.alpha3 * state.pi - 1.0) * jnp.log(Z), axis=1)
+    def row_lprior2(Z2):
+        return jnp.sum((state.alpha3 * state.pi - 1.0) * jnp.log(Z2),
+                       axis=-1)
 
     kp, ki, kb, ka, kc = jax.random.split(key, 5)
     prop_keys = jax.random.split(kp, data.N)
@@ -306,22 +323,30 @@ def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
     use_ind = jax.random.uniform(kb, (data.N,)) < p_indep
     Z_new = jnp.where(use_ind[:, None], Z_ind, Z_rw)
 
-    def log_q_mix(z_to, z_from):
-        """Mixture proposal density q(z_to | z_from)."""
-        ld_rw = dirichlet_logpdf_unnormalized(z_to, hp.a_Z_PM * z_from)
-        ld_ind = dirichlet_logpdf_unnormalized(z_to, alpha_ind)
+    def log_q_mix2(z_new, z_old):
+        """Both mixture proposal densities q(new|old), q(old|new) in one
+        stacked density evaluation (one lgamma pass instead of four)."""
+        tos = jnp.stack([z_new, z_old, z_new, z_old])
+        alphas = jnp.concatenate([hp.a_Z_PM * jnp.stack([z_old, z_new]),
+                                  jnp.stack([alpha_ind, alpha_ind])])
+        ld = dirichlet_logpdf_unnormalized(tos, alphas)
         if p_indep <= 0.0:
-            return ld_rw
-        return jnp.logaddexp(jnp.log(p_indep) + ld_ind,
-                             jnp.log1p(-p_indep) + ld_rw)
+            return ld[0], ld[1]
+        fwd = jnp.logaddexp(jnp.log(p_indep) + ld[2],
+                            jnp.log1p(-p_indep) + ld[0])
+        bwd = jnp.logaddexp(jnp.log(p_indep) + ld[3],
+                            jnp.log1p(-p_indep) + ld[1])
+        return fwd, bwd
 
-    a2, U2, Lc2, Fr2, rr2 = row_stats(jnp.stack([state.Z, Z_new]))
+    Zstack = jnp.stack([state.Z, Z_new])
+    a2, U2, Lc2, Fr2, rr2 = row_stats(Zstack)
     (a_o, a_n), (U_o, U_n) = a2, U2
     (Lc_o, Lc_n), (Fr_o, Fr_n), (rr_o, rr_n) = Lc2, Fr2, rr2
-    lp_old = marg_loglik(Lc_o, Fr_o, rr_o) + row_lprior(state.Z)
-    lp_new = marg_loglik(Lc_n, Fr_n, rr_n) + row_lprior(Z_new)
-    log_acc = (lp_new - lp_old
-               + log_q_mix(state.Z, Z_new) - log_q_mix(Z_new, state.Z))
+    lpr = row_lprior2(Zstack)
+    lp_old = marg_loglik(Lc_o, Fr_o, rr_o) + lpr[0]
+    lp_new = marg_loglik(Lc_n, Fr_n, rr_n) + lpr[1]
+    q_fwd, q_bwd = log_q_mix2(Z_new, state.Z)
+    log_acc = lp_new - lp_old + q_bwd - q_fwd
     boundary = jnp.any(state.Z <= 0.0, axis=1)
     u = jax.random.uniform(ka, (data.N,))
     accept = jnp.where(jnp.isnan(log_acc), False, jnp.log(u) < log_acc)
@@ -335,12 +360,9 @@ def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
 
     # exact joint chi | Z draw: precision C = I + s U'GU, linear b = s F'r
     z = jax.random.normal(kc, (data.N, Mm), state.chi.dtype)
-    hw = jax.scipy.linalg.solve_triangular(
-        Lc, (s * Fr)[..., None], lower=True)
-    mean = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(Lc, -1, -2), hw, lower=False)[..., 0]
-    noise = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(Lc, -1, -2), z[..., None], lower=False)[..., 0]
+    hw = small_solve_lower(Lc, s * Fr)
+    mean = small_solve_upper_t(Lc, hw)
+    noise = small_solve_upper_t(Lc, z)
     chi = mean + noise
     w = a + jnp.einsum("npm,nm->np", U, chi, **_HI)
     return state.replace(Z=Z, chi=chi), cache.replace(w=w)
@@ -626,13 +648,11 @@ def update_chi_joint(key, state, data, hp, cache: SweepCache, beta=1.0):
     C = jnp.eye(Mm, dtype=state.chi.dtype) \
         + s * jnp.einsum("npm,npl->nml", U, GU, **_HI)
     b = s * jnp.einsum("npm,np->nm", U, data.u - Ga, **_HI)
-    Lc = jnp.linalg.cholesky(C)
+    Lc = small_chol(C)        # entrywise-unrolled (ops/linalg.py)
     z = jax.random.normal(key, (data.N, Mm), state.chi.dtype)
-    hw = jax.scipy.linalg.solve_triangular(Lc, b[..., None], lower=True)
-    mean = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(Lc, -1, -2), hw, lower=False)[..., 0]
-    noise = jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(Lc, -1, -2), z[..., None], lower=False)[..., 0]
+    hw = small_solve_lower(Lc, b)
+    mean = small_solve_upper_t(Lc, hw)
+    noise = small_solve_upper_t(Lc, z)
     chi = mean + noise
     w = a + jnp.einsum("npm,nm->np", U, chi, **_HI)
     return state.replace(chi=chi), cache.replace(w=w)
@@ -701,13 +721,25 @@ def update_delta(key, state, hp):
         + P * (M - m_idx)[None, :] / 2.0                     # (K, M)
     G = jax.random.gamma(key, shapes)
 
-    def body(i, delta):
-        cp = jnp.cumprod(delta.at[:, i].set(1.0), axis=1)   # (K, M)
-        tail = jnp.where(m_idx[None, :] >= i, cp * S, 0.0)
-        rate = 1.0 + 0.5 * jnp.sum(tail, axis=1)            # (K,)
-        return delta.at[:, i].set(G[:, i] / rate)
+    # rate_i = 1 + 0.5 * sum_{m>=i} S_m * prod_{n<=m, n!=i} delta_n, where
+    # delta_n is NEW for n < i and OLD for n > i.  Split the product into
+    # prefix (new, carried) x suffix (old, precomputed):
+    #   prod = P_i * O_m / O_i,  P_i = prod_{n<i} new_n, O = cumprod(old)
+    # so the whole tail sum collapses to P_i * T_i / O_i with ONE
+    # precomputed reverse-cumsum T_i = sum_{m>=i} S_m O_m — the loop body
+    # shrinks to 4 tiny ops (latency item, kernel_breakdown.py).
+    O = jnp.cumprod(state.delta, axis=1)                     # (K, M)
+    T = jnp.cumsum((S * O)[:, ::-1], axis=1)[:, ::-1]        # (K, M)
 
-    delta = jax.lax.fori_loop(0, M, body, state.delta, unroll=_unroll(M))
+    def body(i, carry):
+        delta, pref = carry
+        rate = 1.0 + 0.5 * pref * T[:, i] / O[:, i]          # (K,)
+        d_i = G[:, i] / rate
+        return delta.at[:, i].set(d_i), pref * d_i
+
+    delta, _ = jax.lax.fori_loop(
+        0, M, body, (state.delta, jnp.ones_like(state.delta[:, 0])),
+        unroll=_unroll(M))
     return state.replace(delta=delta)
 
 
@@ -729,14 +761,20 @@ def update_delta_xi(key, state, hp):
         + (P * (M - m_idx) / 2.0)[None, :, None]              # (K, M, D)
     G = jax.random.gamma(key, shapes)
 
-    def body(i, delta):
-        cp = jnp.cumprod(delta.at[:, i, :].set(1.0), axis=1)  # (K, M, D)
-        tail = jnp.where(m_idx[None, :, None] >= i, cp * S, 0.0)
-        rate = 1.0 + 0.5 * jnp.sum(tail, axis=1)              # (K, D)
-        return delta.at[:, i, :].set(G[:, i, :] / rate)
+    # prefix/suffix product split — see update_delta
+    O = jnp.cumprod(state.delta_xi, axis=1)                   # (K, M, D)
+    T = jnp.cumsum((S * O)[:, ::-1, :], axis=1)[:, ::-1, :]   # (K, M, D)
 
-    delta_xi = jax.lax.fori_loop(0, M, body, state.delta_xi,
-                                 unroll=_unroll(M))
+    def body(i, carry):
+        delta, pref = carry
+        rate = 1.0 + 0.5 * pref * T[:, i, :] / O[:, i, :]     # (K, D)
+        d_i = G[:, i, :] / rate
+        return delta.at[:, i, :].set(d_i), pref * d_i
+
+    delta_xi, _ = jax.lax.fori_loop(
+        0, M, body,
+        (state.delta_xi, jnp.ones_like(state.delta_xi[:, 0, :])),
+        unroll=_unroll(M))
     return state.replace(delta_xi=delta_xi)
 
 

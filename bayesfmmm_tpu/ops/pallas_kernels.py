@@ -137,3 +137,116 @@ def weighted_gram(G, wt, tile_n=8):
         interpret=_use_interpret(),
     )(G, wt2)
     return jnp.sum(parts, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Batch-minor fused Cholesky + solves — the joint blocked draw's hot op.
+#
+# The production sweep's joint (Phi/xi) draw factorizes one (D, D) SPD
+# precision per chain per sweep with D = K*M*P ~ 96.  Inside the scan's
+# latency chain, XLA's stock lowerings dominate the entire sweep: both
+# `cholesky` and `triangular_solve` lower to while loops of ~D iterations
+# with a measured ~5-30 us per-iteration overhead (see
+# benchmarks/kernel_breakdown.py; 2.97 ms/sweep for the batched Cholesky
+# alone at D=96, 256 chains — 60% of the whole sweep).
+#
+# This kernel runs the WHOLE factor-and-solve pipeline in ONE launch, with
+# the chain batch on the 128-lane axis (batch-minor layout): a
+# Cholesky-Crout elimination whose j-th step is a single fused
+# (D, D, CB)-shaped VPU op, then forward/backward substitution sweeps of
+# (D, CB) ops.  Loop iterations are hardware loop steps, not XLA while
+# iterations.
+# ---------------------------------------------------------------------------
+
+_CHOL_CB = 128            # chains per grid step (lane width)
+_CHOL_MAX_DIM = 128       # VMEM guard: 2 * D^2 * CB * 4B must fit in ~16MB
+
+
+def _chol_solve_kernel(a_ref, b_ref, z_ref, mean_ref, noise_ref, aw, u):
+    D = a_ref.shape[0]
+    aw[:] = a_ref[:]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)[:, :, None]
+    row_ids1 = jax.lax.broadcasted_iota(jnp.int32, (D, 1), 0)
+
+    def chol_step(j, _):
+        dj = aw[pl.ds(j, 1), pl.ds(j, 1), :][0, 0]          # (CB,)
+        inv = jax.lax.rsqrt(dj)
+        col = aw[:, pl.ds(j, 1), :][:, 0, :]                # (D, CB)
+        Lcol = col * inv[None, :]
+        # trailing update on columns > j only (rows <= j there are upper-
+        # triangle scratch); then store the finished L column.
+        A = aw[:]
+        aw[:] = jnp.where(col_ids > j,
+                          A - Lcol[:, None, :] * Lcol[None, :, :], A)
+        aw[:, pl.ds(j, 1), :] = Lcol[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, D, chol_step, 0)
+
+    # forward substitution: w = L^{-1} b (into u[0]); stage z into u[1]
+    u[0, :, :] = b_ref[:]
+    u[1, :, :] = z_ref[:]
+
+    def fwd_step(j, _):
+        dj = aw[pl.ds(j, 1), pl.ds(j, 1), :][0, 0]
+        wj = u[0, pl.ds(j, 1), :][0] / dj                   # (CB,)
+        col = aw[:, pl.ds(j, 1), :][:, 0, :]                # (D, CB)
+        W = u[0, :, :]
+        u[0, :, :] = jnp.where(row_ids1 > j, W - col * wj[None, :], W)
+        u[0, pl.ds(j, 1), :] = wj[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, D, fwd_step, 0)
+
+    # backward substitution on both stacked rhs: x = L^{-T} u
+    def bwd_step(jj, _):
+        j = D - 1 - jj
+        dj = aw[pl.ds(j, 1), pl.ds(j, 1), :][0, 0]
+        mj = u[:, pl.ds(j, 1), :][:, 0, :] / dj[None, :]    # (2, CB)
+        rowL = aw[pl.ds(j, 1), :, :][0]                     # (D, CB) = L[j, i]
+        U = u[:]
+        u[:] = jnp.where((row_ids1 < j)[None],
+                         U - rowL[None] * mj[:, None, :], U)
+        u[:, pl.ds(j, 1), :] = mj[:, None, :]
+        return 0
+
+    jax.lax.fori_loop(0, D, bwd_step, 0)
+    mean_ref[:] = u[0, :, :]
+    noise_ref[:] = u[1, :, :]
+
+
+def chol_solve_batch_minor(A_T, b_T, z_T):
+    """(mean, noise) of a precision draw, batch-minor: A_T (D, D, C) SPD,
+    b_T/z_T (D, C); returns mean = A^{-1} b and noise = chol(A)^{-T} z,
+    both (D, C).  C is padded to a multiple of 128 lanes by the caller's
+    wrapper (joint_precision_draw below)."""
+    D, _, C = A_T.shape
+    grid = C // _CHOL_CB
+    mean, noise = pl.pallas_call(
+        _chol_solve_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((D, D, _CHOL_CB), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, _CHOL_CB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, _CHOL_CB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((D, _CHOL_CB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, _CHOL_CB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((D, C), A_T.dtype),
+            jax.ShapeDtypeStruct((D, C), A_T.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((D, D, _CHOL_CB), jnp.float32),
+            pltpu.VMEM((2, D, _CHOL_CB), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(A_T, b_T, z_T)
+    return mean, noise

