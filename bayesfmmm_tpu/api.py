@@ -228,7 +228,11 @@ def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
 
     kernels: "reference" reproduces the reference kernel census exactly;
     "production" swaps in the collapsed (Z, chi) block and gauge moves
-    (ops/gibbs.py) — same posterior (Geweke-proven), better mixing.
+    (ops/gibbs.py) — same posterior (Geweke-proven), measured-better
+    mixing: at the round-4 operating-point probe (256 chains, 20k warmup,
+    5k kept) the production kernels reach cross-chain rhat_max 1.066 /
+    multichain ESS 7500 vs 1.63 / 1807 for the reference kernels, and
+    2.2x the ESS/s despite a ~2x costlier sweep (update_z_chi docstring).
 
     progress: True (the default, matching the reference's unconditional
     progress prints) or a ProgressStream prints rolling log-likelihood

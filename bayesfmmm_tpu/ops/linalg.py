@@ -46,6 +46,17 @@ _HI = dict(precision="highest")
 BLOCKED_MIN_DIM = 32
 
 
+def _stock():
+    """BFMMM_STOCK_LINALG=1 routes every latency-tuned path back to the
+    stock XLA lowerings (value-equivalent; see tests/test_linalg.py).  Used
+    by the FLOPs cross-check: XLA's cost_analysis mis-counts the blocked
+    substitution network ~8x (slicing a cholesky result inflates the
+    counted while-loop flops), so the analytic-vs-XLA pin runs against the
+    canonical schedule that computes the same math."""
+    import os
+    return os.environ.get("BFMMM_STOCK_LINALG", "0") == "1"
+
+
 def _pick_block(D):
     for bs in (16, 12, 8):
         if D % bs == 0:
@@ -65,7 +76,7 @@ def blocked_tri_solves(L, b, z, *, block=None):
     """
     D = L.shape[-1]
     BS = block or _pick_block(D)
-    if BS is None:
+    if BS is None or _stock():
         w = jax.scipy.linalg.solve_triangular(L, b[..., None], lower=True)
         rhs = jnp.concatenate([w, z[..., None]], axis=-1)
         out = jax.scipy.linalg.solve_triangular(L.mT, rhs, lower=False)
@@ -178,7 +189,7 @@ SMALL_MAX_DIM = 8
 def small_chol(A):
     """Cholesky of SPD (..., M, M), unrolled over entries for static M."""
     M = A.shape[-1]
-    if M > SMALL_MAX_DIM:
+    if M > SMALL_MAX_DIM or _stock():
         return jnp.linalg.cholesky(A)
     a = [[A[..., i, j] for j in range(M)] for i in range(M)]
     L = [[None] * M for _ in range(M)]
@@ -202,7 +213,7 @@ def small_chol(A):
 def small_solve_lower(L, b):
     """x with L x = b; L (..., M, M) lower-triangular, b (..., M)."""
     M = L.shape[-1]
-    if M > SMALL_MAX_DIM:
+    if M > SMALL_MAX_DIM or _stock():
         return jax.scipy.linalg.solve_triangular(
             L, b[..., None], lower=True)[..., 0]
     x = []
@@ -217,7 +228,7 @@ def small_solve_lower(L, b):
 def small_solve_upper_t(L, b):
     """x with L^T x = b (upper substitution on the transpose of lower L)."""
     M = L.shape[-1]
-    if M > SMALL_MAX_DIM:
+    if M > SMALL_MAX_DIM or _stock():
         return jax.scipy.linalg.solve_triangular(
             jnp.swapaxes(L, -1, -2), b[..., None], lower=False)[..., 0]
     x = [None] * M

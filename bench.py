@@ -14,10 +14,15 @@ Protocol (round-4; see BENCH_SUITE.md):
   * ESS is the MULTI-CHAIN rank-normalized estimator on identifiable
     quantities (fitted curves at probe points + loglik) — between-chain
     disagreement penalizes the total; label switching cannot deflate it.
-  * CHAIN COUNT is the chip's headline lever: the sweep is latency-bound
-    (0.065% of bf16 peak at 64 chains, BENCH_r03), so sweeps/s holds
-    near-constant while multichain ESS scales ~linearly with chains
-    (measured ladder: benchmarks/chain_scaling.py).  Default 512 chains.
+  * CHAIN COUNT: chain-sweeps/s saturates by 128-256 chains (measured
+    ladder, benchmarks/chain_scaling.py: 107k at 64, 145k at 256, flat to
+    1024); 256 chains takes the full throughput and gives well-resolved
+    cross-chain diagnostics.  Default 256.
+  * KERNELS: the partially collapsed (Z, chi) block with a 30%
+    independence-proposal mixture + gauge moves — the measured round-4
+    operating-point winner (rhat_max 1.066 / ESS 7500 vs 1.63 / 1807 for
+    the reference chi-conditional kernel at the same 20k/5k budget; see
+    update_z_chi docstring).  BENCH_COLLAPSED=0 reverts.
   * This posterior has a measured O(1e5)-sweep equilibration transient
     (single-chain loglik still climbing at 30k sweeps) plus near-flat
     convex-hull gauge ridges.  The bench therefore runs an ANNEALED WARMUP
@@ -38,10 +43,12 @@ Protocol (round-4; see BENCH_SUITE.md):
     term) times trip count — XLA's cost_analysis does not scale scan
     bodies.
 
-Env knobs: BENCH_WARMUP (default 150000 — the measured plateau of the
-equilibration transient), BENCH_KEPT (default 20000), BENCH_CHAINS
-(default 512), BENCH_GAUGE=0/1 (default 1), BENCH_REPEATS (default 3),
-BENCH_CKPT (checkpoint path; "0" disables warm-start amortization).
+Env knobs: BENCH_WARMUP (default 150000; the transient study
+benchmarks/warmup_transient.py records how R-hat falls with warmup),
+BENCH_KEPT (default 20000), BENCH_CHAINS (default 256), BENCH_GAUGE=0/1
+(default 1), BENCH_COLLAPSED=0/1 (default 1), BENCH_P_INDEP (default 0.3),
+BENCH_REPEATS (default 3), BENCH_CKPT (checkpoint path; "0" disables
+warm-start amortization).
 """
 
 from __future__ import annotations
@@ -58,8 +65,10 @@ import numpy as np
 
 WARMUP = int(os.environ.get("BENCH_WARMUP", 150000))
 KEPT = int(os.environ.get("BENCH_KEPT", 20000))
-N_CHAINS = int(os.environ.get("BENCH_CHAINS", 512))
+N_CHAINS = int(os.environ.get("BENCH_CHAINS", 256))
 GAUGE = os.environ.get("BENCH_GAUGE", "1") == "1"
+COLLAPSED = os.environ.get("BENCH_COLLAPSED", "1") == "1"
+P_INDEP = float(os.environ.get("BENCH_P_INDEP", 0.3))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 ANNEAL = min(5000, WARMUP)
 CHUNK = 5000
@@ -71,7 +80,8 @@ def _ckpt_path():
         return None
     if v:
         return v
-    tag = f"c{N_CHAINS}_w{WARMUP}_g{int(GAUGE)}_seed7"
+    tag = (f"c{N_CHAINS}_w{WARMUP}_g{int(GAUGE)}_z{int(COLLAPSED)}"
+           f"_p{P_INDEP}_seed7")
     return os.path.expanduser(f"~/.cache/bfmmm_bench/ens_{tag}.npz")
 
 
@@ -141,8 +151,9 @@ def main():
             def warm_chain(k, st, b0, b1):
                 def body(carry, inp):
                     kk, b = inp
-                    return gibbs.sweep_full(kk, carry, data, hp, c, beta=b,
-                                            gauge=GAUGE), None
+                    return gibbs.sweep_full(
+                        kk, carry, data, hp, c, beta=b, gauge=GAUGE,
+                        collapsed_z=COLLAPSED, p_indep=P_INDEP), None
                 bs = jnp.linspace(b0, b1, n).astype(dtype)
                 st, _ = jax.lax.scan(body, st, (jax.random.split(k, n), bs))
                 return st
@@ -172,7 +183,8 @@ def main():
     # ---- measured kept windows (REPEATS of them, chained) ----
     def kept_chain(k, st):
         def body(carry, kk):
-            st = gibbs.sweep_full(kk, carry, data, hp, c, gauge=GAUGE)
+            st = gibbs.sweep_full(kk, carry, data, hp, c, gauge=GAUGE,
+                                  collapsed_z=COLLAPSED, p_indep=P_INDEP)
             w = st.Z[probe_obs] @ st.nu \
                 + jnp.einsum("nk,kpm,nm->np", st.Z[probe_obs], st.Phi,
                              st.chi[probe_obs], precision="highest")
@@ -227,7 +239,8 @@ def main():
         from flops import sweep_flops
         from utilization import cost_stats
         per_sweep = sweep_flops(N, int(data.L), P, K, M,
-                                identity_basis=False, gauge=GAUGE)["total"]
+                                identity_basis=False, gauge=GAUGE,
+                                collapsed_z=COLLAPSED)["total"]
         total_flops = per_sweep * N_CHAINS * KEPT
         util = cost_stats(compiled, elapsed, flops=total_flops,
                           source="analytic_per_sweep_x_trip_count")
@@ -268,7 +281,8 @@ def main():
         "detail": {
             "backend": jax.default_backend(),
             "protocol": {"warmup": WARMUP, "anneal": ANNEAL, "kept": KEPT,
-                         "gauge_moves": GAUGE, "repeats": REPEATS,
+                         "gauge_moves": GAUGE, "collapsed_z": COLLAPSED,
+                         "p_indep": P_INDEP, "repeats": REPEATS,
                          "warm_mode": warm_mode},
             "rhat_median": round(med_w["rhat_median"], 4),
             "rhat_max": round(med_w["rhat_max"], 4),

@@ -37,7 +37,6 @@ def run_point(n_chains, warmup, kept, data=None, seed=0, a_z=None,
     from bayesfmmm_tpu.models.likelihood import log_likelihood
     from bayesfmmm_tpu.models.state import init_state
     from bayesfmmm_tpu.ops import gibbs
-    from bayesfmmm_tpu.ops.mean import compute_mu
     from bayesfmmm_tpu.utils.init_strategies import spectral_init
     from bayesfmmm_tpu.utils.simulate import simulate_functional
 
@@ -67,6 +66,9 @@ def run_point(n_chains, warmup, kept, data=None, seed=0, a_z=None,
 
     probe_obs = jnp.arange(0, N, N // 8)[:8]
     probe_t = jnp.arange(0, data.L, data.L // 4)[:4]
+    # probe fitted values through the 8x4 selected basis rows only — the
+    # full compute_mu + gather path costs ~4x the (round-4) sweep itself
+    B_probe = data.B[probe_obs][:, probe_t, :]             # (8, 4, P)
 
     warm_chunk = min(5000, warmup)
 
@@ -84,8 +86,11 @@ def run_point(n_chains, warmup, kept, data=None, seed=0, a_z=None,
             st = gibbs.sweep_full(kk, carry, data, hp, c,
                                   collapsed_z=collapsed, gauge=gauge,
                                   p_indep=p_indep)
-            mu = compute_mu(data, st)
-            probes = mu[probe_obs][:, probe_t].ravel()
+            w = st.Z[probe_obs] @ st.nu \
+                + jnp.einsum("nk,kpm,nm->np", st.Z[probe_obs], st.Phi,
+                             st.chi[probe_obs], precision="highest")
+            probes = jnp.einsum("ntp,np->nt", B_probe, w,
+                                precision="highest").ravel()
             ll = log_likelihood(st, data)
             return st, jnp.concatenate([probes, ll[None]])
         keys = jax.random.split(k, kept)

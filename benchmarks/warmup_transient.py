@@ -43,6 +43,8 @@ def main():
                     default="spectral")
     ap.add_argument("--anneal", type=int, default=5000)
     ap.add_argument("--gauge", type=int, default=1)
+    ap.add_argument("--collapsed", type=int, default=0)
+    ap.add_argument("--p_indep", type=float, default=0.1)
     args = ap.parse_args()
     marks = sorted(int(x) for x in args.marks.split(","))
 
@@ -109,18 +111,23 @@ def main():
                          data.L - 1])
     B_probe = data.B[probe_obs][:, probe_t, :]
 
+    collapsed = bool(args.collapsed)
+
     def warm_chain(k, st, b0, b1):
         def body(carry, inp):
             kk, b = inp
             return gibbs.sweep_full(kk, carry, data, hp, c, beta=b,
-                                    gauge=gauge), None
+                                    gauge=gauge, collapsed_z=collapsed,
+                                    p_indep=args.p_indep), None
         bs = jnp.linspace(b0, b1, CHUNK).astype(dtype)
         st, _ = jax.lax.scan(body, st, (jax.random.split(k, CHUNK), bs))
         return st
 
     def kept_chain(k, st):
         def body(carry, kk):
-            st = gibbs.sweep_full(kk, carry, data, hp, c, gauge=gauge)
+            st = gibbs.sweep_full(kk, carry, data, hp, c, gauge=gauge,
+                                  collapsed_z=collapsed,
+                                  p_indep=args.p_indep)
             w = st.Z[probe_obs] @ st.nu \
                 + jnp.einsum("nk,kpm,nm->np", st.Z[probe_obs], st.Phi,
                              st.chi[probe_obs], precision="highest")
@@ -147,6 +154,7 @@ def main():
         chain_ll = ll.mean(axis=1)
         print(json.dumps({
             "init": args.init, "chains": args.chains, "warmup": done,
+            "collapsed_z": collapsed,
             "kept": args.kept, "gauge": gauge,
             "rhat_median": round(float(np.median(rhat_q)), 4),
             "rhat_max": round(float(np.max(rhat_q)), 4),
