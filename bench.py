@@ -181,32 +181,47 @@ def main():
             save_checkpoint(ckpt, states, chain_keys, iteration=WARMUP)
 
     # ---- measured kept windows (REPEATS of them, chained) ----
-    def kept_chain(k, st):
-        def body(carry, kk):
-            st = gibbs.sweep_full(kk, carry, data, hp, c, gauge=GAUGE,
-                                  collapsed_z=COLLAPSED, p_indep=P_INDEP)
-            w = st.Z[probe_obs] @ st.nu \
-                + jnp.einsum("nk,kpm,nm->np", st.Z[probe_obs], st.Phi,
-                             st.chi[probe_obs], precision="highest")
-            probes = jnp.einsum("ntp,np->nt", B_probe, w,
-                                precision="highest").ravel()
-            ll = log_likelihood(st, data)
-            return st, jnp.concatenate([probes, ll[None]])
-        return jax.lax.scan(body, st, jax.random.split(k, KEPT))
+    # Chunked like the warmup: one 20k-sweep scan is a single multi-minute
+    # device dispatch, which the tunnel's RPC deadline kills; <=CHUNK-sweep
+    # dispatches are the measured-safe grain.  Chunk outputs stay on device
+    # until after the timed section.
+    def make_kept(n):
+        def kept_chain(k, st):
+            def body(carry, kk):
+                st = gibbs.sweep_full(kk, carry, data, hp, c, gauge=GAUGE,
+                                      collapsed_z=COLLAPSED, p_indep=P_INDEP)
+                w = st.Z[probe_obs] @ st.nu \
+                    + jnp.einsum("nk,kpm,nm->np", st.Z[probe_obs], st.Phi,
+                                 st.chi[probe_obs], precision="highest")
+                probes = jnp.einsum("ntp,np->nt", B_probe, w,
+                                    precision="highest").ravel()
+                ll = log_likelihood(st, data)
+                return st, jnp.concatenate([probes, ll[None]])
+            return jax.lax.scan(body, st, jax.random.split(k, n))
+        return jax.jit(jax.vmap(kept_chain))
 
-    run = jax.jit(jax.vmap(kept_chain))
     t0 = time.time()
-    compiled = run.lower(chain_keys, states).compile()
+    compiled = make_kept(CHUNK).lower(chain_keys, states).compile()
+    rem_f = (make_kept(KEPT % CHUNK).lower(chain_keys, states).compile()
+             if KEPT % CHUNK else None)
     compile_s = time.time() - t0
 
     windows = []
     for r in range(REPEATS):
-        kkeys = jax.vmap(lambda k: jax.random.fold_in(k, 777 + r))(chain_keys)
         t0 = time.time()
-        states, out = compiled(kkeys, states)
-        jax.block_until_ready(out)
+        chunks, done, ci = [], 0, 0
+        while done < KEPT:
+            n = min(CHUNK, KEPT - done)
+            f = compiled if n == CHUNK else rem_f
+            kkeys = jax.vmap(lambda k: jax.random.fold_in(
+                k, 777 + 1000 * r + ci))(chain_keys)
+            states, out = f(kkeys, states)
+            jax.block_until_ready(out)
+            chunks.append(out)
+            done += n
+            ci += 1
         elapsed = time.time() - t0
-        out = np.asarray(out)                  # (chains, kept, n_q)
+        out = np.concatenate([np.asarray(o) for o in chunks], axis=1)
         n_q = out.shape[2]
         ess_q = [rank_normalized_ess(out[:, :, j]) for j in range(n_q)]
         rhat_q = [rank_normalized_rhat(out[:, :, j]) for j in range(n_q)]
