@@ -1057,6 +1057,95 @@ def update_gauge(key, state, data, hp, *, sigma_mix=0.3, sigma_scale=0.3,
     return state
 
 
+
+
+# ---------------------------------------------------------------------------
+# MGP scale interweaving — ASIS move along the hierarchy's funnel direction.
+#
+# NOT a reference kernel.  Round-4 basin diagnosis (BENCH_SUITE.md §4.1):
+# after the Z multimodality is handled, the slowest posterior direction is
+# a continuous (sigma2, Phi-scale, MGP-precision) drift — chains carry ~2%
+# sigma2 offsets coupled to Phi column norms 1.7 vs 2.4 with an integrated
+# autocorrelation of thousands of sweeps.  That is the classic centered-
+# parameterization funnel of scale hierarchies: the centered Gibbs tower
+# (delta | Phi conjugate, Phi | delta Gibbs) random-walks the joint scale.
+#
+# The ancillary-sufficiency (ASIS / interweaving, Yu & Meng 2011) fix: an
+# MH move in the NON-CENTERED coordinates Phi_raw = Phi * sqrt(tilde_tau *
+# gamma).  Proposing delta_{k,i} -> delta_{k,i} e^eps with Phi_raw HELD
+# FIXED rescales Phi columns m >= i of feature k by e^{-eps/2} — one
+# coordinated slide along the funnel.  In these coordinates the Gaussian
+# Phi-prior normalization (+eps/2 per affected entry) cancels the Phi
+# Jacobian (-eps/2 per entry) exactly, leaving
+#
+#   log a = beta * dloglik + (a_i - 1) eps - delta_ki (e^eps - 1) + eps
+#
+# with a_i the MGP Gamma shape (A[k,0] if i==0 else A[k,1], unit rate) and
+# the final +eps the log-delta proposal Jacobian.  dloglik is evaluated in
+# residual space (f32-stable, ops/mean.py rationale) from the cache's
+# effective coefficients.  Exactness is covered by the production-sweep
+# Geweke joint-invariance test (tests/test_geweke_covadj.py).
+# ---------------------------------------------------------------------------
+
+def update_mgp_scale(key, state, data, hp, cache: SweepCache, beta=1.0, *,
+                     sigma_eps=0.03, n_moves=4):
+    """``n_moves`` random (feature, column) interweaved MGP-scale moves.
+
+    sigma_eps tuning (measured on the equilibrated 256-chain headline
+    ensemble): mean MH acceptance 0.029 at eps-sd 0.4, 0.22 at 0.05,
+    0.42 at 0.02 — the scale-conditional sd is ~0.02, so the default
+    0.03 / 4 moves per sweep diffuses across the measured ~2% per-chain
+    sigma2 offsets in O(10^2) sweeps instead of the centered tower's
+    O(10^4) random walk."""
+    K, P, M = state.Phi.shape
+    m_idx = jnp.arange(M)
+    dt = state.Phi.dtype
+
+    def rss_pair(w0, w1):
+        w2 = jnp.stack([w0, w1])
+        if data.identity_basis:
+            r = data.y[None] - w2
+        else:
+            r = data.y[None] - jnp.einsum("nlp,enp->enl", data.B, w2, **_HI)
+        return jnp.sum(r * r, axis=(1, 2))
+
+    def body(i, carry):
+        st, w = carry
+        ki = jax.random.fold_in(key, 7829 + i)
+        kk, ke, ku = jax.random.split(ki, 3)
+        idx = jax.random.randint(kk, (), 0, K * M)
+        kf = idx // M
+        col = idx % M
+        eps = sigma_eps * jax.random.normal(ke, dtype=dt)
+        fmask = jax.nn.one_hot(kf, K, dtype=dt)                 # (K,)
+        cmask = (m_idx >= col).astype(dt)                       # (M,)
+        smul = 1.0 + (jnp.exp(-eps / 2.0) - 1.0) \
+            * fmask[:, None, None] * cmask[None, None, :]       # (K,1,M)
+        Phi_new = st.Phi * smul
+        dw = jnp.einsum("nk,kpm,nm->np", st.Z, Phi_new - st.Phi,
+                        st.chi, **_HI)
+        rss2 = rss_pair(w, w + dw)
+        dll = -beta * (rss2[1] - rss2[0]) / (2.0 * st.sigma2)
+        a_i = jnp.where(col == 0, st.A[kf, 0], st.A[kf, 1])
+        d_ki = st.delta[kf, col]
+        log_acc = dll + (a_i - 1.0) * eps - d_ki * (jnp.exp(eps) - 1.0) + eps
+        ok = jnp.log(jax.random.uniform(ku)) < jnp.nan_to_num(
+            log_acc, nan=-jnp.inf)
+        dmul = 1.0 + (jnp.exp(eps) - 1.0) * fmask[:, None] \
+            * jax.nn.one_hot(col, M, dtype=dt)[None, :]
+        st = st.replace(
+            Phi=jnp.where(ok, Phi_new, st.Phi),
+            delta=jnp.where(ok, st.delta * dmul, st.delta))
+        w = jnp.where(ok, w + dw, w)
+        return st, w
+
+    state, w = jax.lax.fori_loop(0, n_moves, body, (state, cache.w),
+                                 unroll=_unroll(n_moves))
+    return state, cache.replace(w=w)
+
+
+
+
 # ---------------------------------------------------------------------------
 # Sweep compositions — the three phase drivers' scan orders
 # (BFMMM.h:1073-1100 phase 1; :1253-1298 phase 2; :1500-1554 phase 3;
@@ -1156,4 +1245,9 @@ def sweep_full(key, state, data, hp, c, *, covariate_mean=False,
     if gauge:
         state = update_gauge(jax.random.fold_in(key, 1299709), state,
                              data, hp)
+        # interweaved MGP-scale moves ride the same flag: both target the
+        # measured slow directions beyond the reference's kernel census
+        state, cache = update_mgp_scale(
+            jax.random.fold_in(key, 2750159), state, data, hp,
+            build_cache(data, state), beta)
     return state

@@ -18,6 +18,16 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
     and grid-parallel).
   * opt-in via BFMMM_USE_PALLAS=1 (interpret mode used automatically on
     CPU so the same code path tests everywhere).
+
+Round-4 status of these fusion kernels: default-OFF, measured twice.  At
+L ~ 100 they are latency-tied with XLA's own fusion (BENCH_SUITE r03 §7);
+at L = 1024 under the chain vmap they fail to compile (the batching rule
+folds the chain batch into the block -> 27.7 MB scoped VMEM vs the 16 MB
+core limit; BENCH_SUITE.md §6), so the former "large-L regime" claim is
+withdrawn.  The Pallas kernel that IS default-on is
+``chol_solve_batch_minor`` below — batch-minor by construction so the
+chain batch lands on lanes, built for the latency regime where XLA's
+stock linalg lowerings lose (ops/linalg.py).
 """
 
 from __future__ import annotations

@@ -222,6 +222,12 @@ def main():
             ci += 1
         elapsed = time.time() - t0
         out = np.concatenate([np.asarray(o) for o in chunks], axis=1)
+        # thin the DIAGNOSTIC series to <=20k points per chain: the FFT
+        # autocovariances cost O(chains*probes*KEPT log KEPT) host-side
+        # (tens of minutes at KEPT=1e5), and with tau >> step thinning
+        # leaves the rank-normalized ESS/R-hat estimates unchanged
+        step = max(1, KEPT // 20000)
+        out = out[:, ::step, :]
         n_q = out.shape[2]
         ess_q = [rank_normalized_ess(out[:, :, j]) for j in range(n_q)]
         rhat_q = [rank_normalized_rhat(out[:, :, j]) for j in range(n_q)]

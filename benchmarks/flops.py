@@ -121,7 +121,13 @@ def sweep_flops(N, L, P, K, M, D=0, *, identity_basis=False,
         transforms = 2.0 * (4.0 * N * K + 3.0 * K * P * (1.0 + M) + N * M)
         if D:
             transforms += 2.0 * 3.0 * K * P * D * (1.0 + M)
-        f["gauge"] = 3.0 * per_lp + transforms
+        f["gauge"] = 4.0 * per_lp + transforms   # lp0 + mix/scale/rotate
+        # update_mgp_scale (interweaved ASIS moves, ride the gauge flag):
+        # 4 moves x (column rescale + dw einsum + stacked rss pair)
+        f["interweave"] = 4.0 * (3.0 * K * P * M + 2.0 * N * K * P * M
+                                 + 2.0 * (nlp + 3.0 * N * L))
+        # rebuild_cache before the interweave block
+        f["interweave"] += f["cache"]
     f["loglik"] = rss + 10.0 * N
     f["total"] = float(sum(f.values()))
     return f

@@ -62,17 +62,20 @@ _WORKER = textwrap.dedent("""
     keys = jax.random.split(jax.random.PRNGKey(0), C)
     states = jax.jit(jax.vmap(lambda k: init_state(k, cfg, data)))(keys)
 
-    def chain(k, st):
+    def chain(k, st, d):
         def body(carry, kk):
-            return gibbs.sweep_full(kk, carry, data, hp, c), None
+            return gibbs.sweep_full(kk, carry, d, hp, c), None
         st, _ = jax.lax.scan(body, st, jax.random.split(k, sweeps))
         return st
 
-    run = jax.jit(jax.vmap(chain))
-    out = run(keys, states)          # compile + warm
+    # data passed as an argument: a jitted closure may not capture arrays
+    # sharded across non-addressable (other-process) devices
+    run = jax.jit(jax.vmap(chain, in_axes=(0, 0, None)))
+    out = run(keys, states, data)    # compile + warm
     jax.block_until_ready(out.sigma2)
     t0 = time.time()
-    out = run(jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys), states)
+    out = run(jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys), states,
+              data)
     jax.block_until_ready(out.sigma2)
     dt = time.time() - t0
     print(f"RESULT {dt:.4f}", flush=True)

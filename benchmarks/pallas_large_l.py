@@ -83,7 +83,11 @@ _WORKER = textwrap.dedent("""
 
 
 def run_one(use_pallas, L, chains, sweeps):
-    env = {**os.environ, "PYTHONPATH": os.getcwd(),
+    # append (not replace) PYTHONPATH: the axon sitecustomize that registers
+    # the TPU backend plugin lives on the inherited PYTHONPATH
+    pp = os.environ.get("PYTHONPATH", "")
+    env = {**os.environ,
+           "PYTHONPATH": os.getcwd() + (os.pathsep + pp if pp else ""),
            "BFMMM_USE_PALLAS": "1" if use_pallas else "0"}
     import tempfile
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
@@ -107,18 +111,27 @@ def main():
     ap.add_argument("--sweeps", type=int, default=500)
     args = ap.parse_args()
     xla = run_one(False, args.L, args.chains, args.sweeps)
-    pal = run_one(True, args.L, args.chains, args.sweeps)
+    try:
+        pal = run_one(True, args.L, args.chains, args.sweeps)
+        verdict = ("pallas wins" if pal["sweep_time_s"]
+                   < 0.98 * xla["sweep_time_s"] else "xla wins or tie")
+        extra = {
+            "pallas": pal,
+            "sweep_speedup_pallas": round(
+                xla["sweep_time_s"] / pal["sweep_time_s"], 3),
+            "fused_op_speedup_pallas": round(
+                xla["fused_op_ms"] / pal["fused_op_ms"], 3),
+        }
+    except AssertionError as e:
+        msg = str(e)
+        verdict = ("pallas NOT VIABLE in this regime: compile failure "
+                   "(vmapped batching folds the chain batch into the "
+                   "kernel block -> VMEM OOM at large L)")
+        extra = {"pallas_error": msg[-400:]}
     print(json.dumps({
         "metric": "pallas_large_L_decision",
         "L": args.L, "chains": args.chains, "sweeps": args.sweeps,
-        "xla": xla, "pallas": pal,
-        "sweep_speedup_pallas": round(
-            xla["sweep_time_s"] / pal["sweep_time_s"], 3),
-        "fused_op_speedup_pallas": round(
-            xla["fused_op_ms"] / pal["fused_op_ms"], 3),
-        "verdict": ("pallas wins" if pal["sweep_time_s"]
-                    < 0.98 * xla["sweep_time_s"] else
-                    "xla wins or tie"),
+        "xla": xla, "verdict": verdict, **extra,
     }))
 
 
