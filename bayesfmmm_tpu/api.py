@@ -43,15 +43,27 @@ class FitResult:
         self.final_state = final_state
         self.chain_index = chain_index
 
-    def estimates(self, burnin_prop=0.8, align=False):
+    def estimates(self, burnin_prop=0.8, align=False, _warn=True):
         """Per-element posterior medians (UserFunctions.cpp:1557-1650).
 
         align=True first permutation-aligns every draw to the final draw's
         Z (post/label_switch.py) — recommended for K > 2, where the
         reference's K=2-only "rescale" identifiability transform is
         unavailable and label switching would corrupt element-wise medians.
+        (The pipeline's internal warm-start median extraction keeps the
+        reference's unaligned behavior — a single chain rarely switches
+        labels mid-run — and silences this advisory via ``_warn``.)
         """
         traces = self.traces
+        if _warn and not align and "Z" in traces \
+                and np.asarray(traces["Z"]).shape[-1] > 2:
+            import warnings
+            warnings.warn(
+                "estimates(align=False) with K > 2: element-wise medians "
+                "across label-switching draws can be corrupted (the "
+                "reference's 'rescale' transform is K=2-only, "
+                "PostProcessing.cpp:165-169); pass align=True to "
+                "permutation-align draws first.", UserWarning, stacklevel=2)
         if align:
             from bayesfmmm_tpu.post.label_switch import align_trace
             traces = align_trace({k: np.asarray(v)
@@ -193,7 +205,7 @@ def fit_theta(nu_z_result: FitResult, *, tot_mcmc_iters=1000, n_try=1,
                           family=cfg.family,
                           covariate_mean=cfg.covariate_mean,
                           covariate_cov=covariate_cov and cfg.D > 0)
-    est = nu_z_result.estimates(burnin_prop)
+    est = nu_z_result.estimates(burnin_prop, _warn=False)
     c_vec = jnp.asarray(hp.c_vector(cfg.K), dtype=data.y.dtype)
     key = jax.random.PRNGKey(seed)
     covm, covc = cfg.covariate_mean, covariate_cov and cfg.D > 0
@@ -213,12 +225,14 @@ def fit_theta(nu_z_result: FitResult, *, tot_mcmc_iters=1000, n_try=1,
     return res
 
 
-def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
+def fit_warm_start(nu_z_result: FitResult | None = None,
+                   theta_result: FitResult | None = None, *,
                    tot_mcmc_iters=2000, thinning_num=1, burnin_prop=0.8,
                    n_temp_trans=0, beta_N_t=1.0, N_t=1, n_chains=1,
                    priors: Priors | None = None, directory=None,
                    r_stored_iters=None, seed=2, kernels="reference",
-                   progress=True, progress_every=100):
+                   progress=True, progress_every=100,
+                   resume_from=None, checkpoint_to=None, data=None):
     """Phase 3 — production sampler warm-started from phase-1/2 medians.
 
     Mirrors BFMMM_warm_start (UserFunctions.cpp:1341): per-element posterior
@@ -242,6 +256,17 @@ def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
     chunk sizes compile), so Ctrl-C lands at a chunk boundary instead of
     inside one monolithic multi-hour scan (Rcpp::checkUserInterrupt
     analog, BFMMM.h:203).
+
+    Warm-ensemble protocol (the bench's amortized-warmup workflow as a
+    library feature; beyond the reference, whose warm start is point-
+    estimate-only, BFMMM.h:205-271): ``checkpoint_to`` saves the FULL
+    final chain ensemble + per-chain PRNG keys with the exact-state
+    checkpoint (io/checkpoint.py); ``resume_from`` continues from such a
+    checkpoint — n_chains and the chain states come from the file, the
+    phase-1/2 results are not needed (pass ``data`` instead when resuming
+    in a fresh process), and the continuation is a deterministic function
+    of the checkpoint alone (two resumes from the same file are
+    bit-identical; tested in tests/test_checkpoint_parallel.py).
     """
     validation.validate_fit_args(tot_mcmc_iters=tot_mcmc_iters,
                                  burnin_prop=burnin_prop)
@@ -250,10 +275,34 @@ def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
         r_stored_iters=r_stored_iters, n_temp_trans=n_temp_trans,
         tot_mcmc_iters=tot_mcmc_iters, directory=directory)
     hp = (priors or Priors()).validate()
-    data = theta_result.data
-    cfg = theta_result.config
-    est1 = nu_z_result.estimates(burnin_prop)
-    est2 = theta_result.estimates(burnin_prop)
+    resume = resume_from is not None
+    if not resume and (nu_z_result is None or theta_result is None):
+        raise ValueError("fit_warm_start needs (nu_z_result, theta_result) "
+                         "unless resume_from is given")
+    if resume:
+        from bayesfmmm_tpu.io.checkpoint import load_checkpoint
+        if data is None:
+            if theta_result is None:
+                raise ValueError("resume_from in a fresh process needs "
+                                 "data=...")
+            data = theta_result.data
+        ens_states, ens_keys, it0 = load_checkpoint(
+            resume_from, dtype=data.y.dtype)
+        if ens_states.Z.ndim != 3:
+            raise ValueError("resume_from must hold a chain ENSEMBLE "
+                             "(batched state); got an unbatched state")
+        n_chains = int(ens_states.Z.shape[0])
+        cfg = ModelConfig(
+            K=int(ens_states.Z.shape[-1]), P=int(data.P),
+            M=int(ens_states.chi.shape[-1]), D=int(data.D),
+            family=data.family, covariate_mean=int(data.D) > 0,
+            covariate_cov=int(ens_states.xi.shape[-2]) > 0)
+    else:
+        data = theta_result.data
+        cfg = theta_result.config
+        it0 = 0
+        est1 = nu_z_result.estimates(burnin_prop, _warn=False)
+        est2 = theta_result.estimates(burnin_prop, _warn=False)
     c_vec = jnp.asarray(hp.c_vector(cfg.K), dtype=data.y.dtype)
     key = jax.random.PRNGKey(seed)
 
@@ -300,12 +349,21 @@ def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
         res.config = cfg
         return res
 
-    if progress:
+    if progress or resume or checkpoint_to is not None:
         # chunked execution: compiled progress_every-iteration scans with a
-        # host sync (progress print + interrupt point) between chunks
+        # host sync (progress print + interrupt point) between chunks.
+        # The resume/checkpoint protocol rides this path too (it needs the
+        # full ensemble, which _run_restarts does not return).
         from bayesfmmm_tpu.utils.observability import ProgressStream
-        stream = progress if hasattr(progress, "update") \
-            else ProgressStream(every=1)
+        if hasattr(progress, "update"):
+            stream = progress
+        elif progress:
+            stream = ProgressStream(every=1)
+        else:
+            class _Silent:
+                def update(self, *a):
+                    pass
+            stream = _Silent()
         # balanced chunk sizes (units of thinning_num sweeps): at most two
         # distinct sizes so the chunked path costs at most two compiles
         n_units = max(1, tot_mcmc_iters // thinning_num)
@@ -314,10 +372,19 @@ def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
         base, extra = divmod(n_units, n_chunks)
         sizes = ([(base + 1) * thinning_num] * extra
                  + [base * thinning_num] * (n_chunks - extra))
-        keys = jax.random.split(key, n_chains)
-        init_keys = jax.random.split(jax.random.fold_in(key, 999), n_chains)
-        states = jax.jit(jax.vmap(
-            lambda k: seed_state(init_state(k, cfg, data, c=c_vec))))(init_keys)
+        if resume:
+            # exact-state continuation: chain states AND per-chain keys
+            # come from the checkpoint; the chunk keys fold in the absolute
+            # iteration index so successive resumes never reuse randomness
+            keys = ens_keys
+            states = ens_states
+        else:
+            keys = jax.random.split(key, n_chains)
+            init_keys = jax.random.split(jax.random.fold_in(key, 999),
+                                         n_chains)
+            states = jax.jit(jax.vmap(
+                lambda k: seed_state(init_state(k, cfg, data, c=c_vec))))(
+                init_keys)
 
         run_cache = {}
 
@@ -348,8 +415,18 @@ def fit_warm_start(nu_z_result: FitResult, theta_result: FitResult, *,
                                       window=min(100, loglik.shape[1])))
         traces = {k: np.concatenate([p[k][best] for p in t_parts], axis=0)
                   for k in t_parts[0]}
+        if checkpoint_to is not None:
+            from bayesfmmm_tpu.io.checkpoint import save_checkpoint
+            # advance the per-chain keys past every chunk fold used above
+            # so the next resume draws fresh randomness deterministically
+            keys_next = jax.vmap(
+                lambda k: jax.random.fold_in(k, 900000 + len(sizes)))(keys)
+            save_checkpoint(checkpoint_to, states, keys_next,
+                            iteration=it0 + tot_mcmc_iters)
         res = FitResult(traces, loglik[best],
                         jax.tree.map(lambda x: x[best], states), best)
+        res.all_chain_loglik = loglik
+        res.ensemble_state = states
     else:
         def phase(k, st):
             return drivers.phase_warm_start(
@@ -373,36 +450,54 @@ def fit_pt(nu_z_result: FitResult, theta_result: FitResult, *,
            tot_mcmc_iters=2000, n_replicas=8, beta_min=0.3,
            n_sweeps_between=1, burnin_prop=0.8,
            priors: Priors | None = None, directory=None, seed=2,
-           kernels="reference"):
+           kernels="reference", ladder="auto", pilot_sweeps=50,
+           target_accept=0.4, max_replicas=64):
     """Phase-3 alternative: replica-exchange parallel tempering.
 
     The multi-device replacement for the reference's in-chain tempered
-    transitions (BFMMM.h:780-865; SURVEY.md §2.2): ``n_replicas`` tempered
-    replicas run concurrently on a geometric ladder and propose state swaps
-    each round (parallel/tempering.py; swaps lower to collective-permute
-    when replicas shard across the mesh).  Returns a FitResult whose traces
-    are the cold chain (one draw per PT round) plus ``swap_rate``.
+    transitions (BFMMM.h:780-865; SURVEY.md §2.2): tempered replicas run
+    concurrently on a temperature ladder and propose state swaps each
+    round (parallel/tempering.py; swaps lower to collective-permute when
+    replicas shard across the mesh).  Returns a FitResult whose traces are
+    the cold chain (one draw per PT round) plus ``swap_rate``.
+
+    ladder: "auto" (default) MEASURES the energy sd over a short pilot run
+    and sizes the rung spacing to hit ``target_accept`` swap acceptance
+    (parallel/tempering.py::auto_ladder) — the round-4 measurement
+    (BENCH_SUITE.md §4.1) showed the reference-style fixed geometric
+    ladder silently achieves swap_rate 0.0 on large-n posteriors (adjacent
+    rungs need dbeta ~ n^{-1/2}); if bridging to ``beta_min`` would take
+    more than ``max_replicas`` rungs the ladder is clamped and a warning
+    states that PT cannot reach beta_min at useful cost.  "geometric"
+    reproduces the fixed ``n_replicas``/``beta_min`` geometric ladder
+    (BFMMM.h:661-670 semantics).  Either way, a measured swap_rate < 0.05
+    after the run raises a warning instead of passing silently.
     """
     validation.validate_fit_args(tot_mcmc_iters=tot_mcmc_iters,
                                  burnin_prop=burnin_prop)
     if kernels not in ("reference", "production"):
         raise ValueError("kernels must be 'reference' or 'production'")
+    if ladder not in ("auto", "geometric"):
+        raise ValueError("ladder must be 'auto' or 'geometric'")
     if n_replicas < 2:
         raise ValueError("'n_replicas' must be at least 2")
     if not (0.0 < beta_min <= 1.0):
         raise ValueError("'beta_min' must be in (0, 1]")
+    import warnings
+
     hp = (priors or Priors()).validate()
     data = theta_result.data
     cfg = theta_result.config
-    est1 = nu_z_result.estimates(burnin_prop)
-    est2 = theta_result.estimates(burnin_prop)
+    est1 = nu_z_result.estimates(burnin_prop, _warn=False)
+    est2 = theta_result.estimates(burnin_prop, _warn=False)
     c_vec = jnp.asarray(hp.c_vector(cfg.K), dtype=data.y.dtype)
     key = jax.random.PRNGKey(seed)
 
-    from bayesfmmm_tpu.parallel.tempering import run_parallel_tempering
     from bayesfmmm_tpu.models.likelihood import log_likelihood
-
-    init_keys = jax.random.split(jax.random.fold_in(key, 999), n_replicas)
+    from bayesfmmm_tpu.ops import gibbs
+    from bayesfmmm_tpu.parallel.tempering import (_loglik_portion,
+                                                  auto_ladder,
+                                                  run_parallel_tempering)
 
     def seed_replica(k):
         st = init_state(k, cfg, data)
@@ -416,12 +511,59 @@ def fit_pt(nu_z_result: FitResult, theta_result: FitResult, *,
             delta_xi=est2["delta_xi"], A_xi=est2["A_xi"])
 
     use_production = kernels == "production"
+    ladder_arr = None
+    if ladder == "auto":
+        # pilot: measure the cold-chain energy sd the rung spacing must
+        # resolve (round-4 VERDICT #4; analysis in BENCH_SUITE.md §4.1)
+        def pilot(k):
+            st = seed_replica(jax.random.fold_in(k, 0))
+
+            def body(s, kk):
+                s = gibbs.sweep_full(kk, s, data, hp, c_vec,
+                                     covariate_mean=cfg.covariate_mean,
+                                     covariate_cov=cfg.covariate_cov,
+                                     collapsed_z=use_production,
+                                     gauge=use_production)
+                return s, _loglik_portion(s, data)
+            _, E = jax.lax.scan(body, st,
+                                jax.random.split(k, pilot_sweeps))
+            return E
+
+        E = np.asarray(jax.jit(pilot)(jax.random.fold_in(key, 4242)))
+        sd_E = float(np.std(E[pilot_sweeps // 2:], ddof=1))
+        ladder_arr, feasible = auto_ladder(
+            sd_E, beta_min, target_accept=target_accept,
+            max_replicas=max_replicas)
+        n_replicas = int(ladder_arr.shape[0])
+        if not feasible:
+            warnings.warn(
+                f"fit_pt: measured energy sd {sd_E:.1f} needs "
+                f"~{(1 - beta_min) * sd_E / 1.25:.0f} rungs to bridge to "
+                f"beta_min={beta_min} at {target_accept:.0%} swap "
+                f"acceptance — more than max_replicas={max_replicas}.  "
+                f"Running a clamped ladder to beta="
+                f"{float(ladder_arr[-1]):.3f} instead; on large-n "
+                f"posteriors PT buys little here (measured analysis: "
+                f"BENCH_SUITE.md §4.1 — adjacent-rung energy overlap "
+                f"needs dbeta ~ n^(-1/2)).", UserWarning, stacklevel=2)
+
+    init_keys = jax.random.split(jax.random.fold_in(key, 999), n_replicas)
     replicas = jax.jit(jax.vmap(seed_replica))(init_keys)
     cold_trace, pt, swap_rate = run_parallel_tempering(
         key, replicas, data, hp, c_vec, n_rounds=tot_mcmc_iters,
         beta_min=beta_min, n_sweeps_between=n_sweeps_between,
         covariate_mean=cfg.covariate_mean, covariate_cov=cfg.covariate_cov,
-        collapsed_z=use_production, gauge=use_production)
+        collapsed_z=use_production, gauge=use_production,
+        ladder=ladder_arr)
+    if float(swap_rate) < 0.05:
+        warnings.warn(
+            f"fit_pt: measured swap rate {float(swap_rate):.3f} < 0.05 — "
+            f"the replicas are effectively independent and the "
+            f"{n_replicas}x cost buys no tempering benefit (measured "
+            f"failure mode of fixed ladders on large-n posteriors, "
+            f"BENCH_SUITE.md §4.1).  Use ladder='auto', reduce beta_min, "
+            f"or prefer fit_smc for multimodality at scale.",
+            UserWarning, stacklevel=2)
     traces = {f: np.asarray(getattr(cold_trace, f))
               for f in drivers._TRACE_FIELDS}
     ll = np.asarray(jax.jit(jax.vmap(
@@ -431,6 +573,7 @@ def fit_pt(nu_z_result: FitResult, theta_result: FitResult, *,
     res.data = data
     res.config = cfg
     res.swap_rate = float(swap_rate)
+    res.ladder = np.asarray(ladder_arr) if ladder_arr is not None else None
     if directory is not None:
         export_traces(directory, traces, cfg)
     return res

@@ -24,8 +24,14 @@ _FIELDS = [f.name for f in GibbsState.__dataclass_fields__.values()]
 
 def save_checkpoint(path: str, state, key, iteration: int = 0,
                     extra: dict | None = None) -> None:
-    """Save (state, key, iteration) — exact-resume contract."""
+    """Save (state, key, iteration) — exact-resume contract.
+
+    A path ending in ``.npz`` requests the plain-npz format explicitly;
+    any other path tries Orbax (which writes a directory) first and falls
+    back to ``path + '.npz'``."""
     try:
+        if path.endswith(".npz"):
+            raise ImportError("npz format requested")
         import orbax.checkpoint as ocp
         path = os.path.abspath(path)
         ckpt = {
@@ -55,7 +61,8 @@ def load_checkpoint(path: str, dtype=None):
     import jax.numpy as jnp
     dtype = dtype or jnp.float32
     npz = path if path.endswith(".npz") else path + ".npz"
-    if os.path.exists(npz):
+    # a directory named *.npz is an Orbax checkpoint, not an npz archive
+    if os.path.isfile(npz):
         z = np.load(npz)
         fields = {f: jnp.asarray(z[f"state__{f}"], dtype) for f in _FIELDS}
         state = GibbsState(**fields)

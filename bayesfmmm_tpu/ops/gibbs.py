@@ -1144,6 +1144,124 @@ def update_mgp_scale(key, state, data, hp, cache: SweepCache, beta=1.0, *,
     return state, cache.replace(w=w)
 
 
+# ---------------------------------------------------------------------------
+# Noise/eigen-scale interweaving — joint (sigma2, delta, Phi[, xi]) slide.
+#
+# NOT a reference kernel.  Round-4 measurement (BENCH_SUITE.md §4.1): the
+# residual cross-chain R-hat on the log-likelihood is a slow continuous
+# drift of per-chain sigma2 offsets (~2%) COUPLED to Phi column norms
+# (1.7 vs 2.4 best-vs-worst chain) — and no kernel moved sigma2 jointly
+# with the scale coordinates it is correlated with (round-4 verdict).  The
+# update_mgp_scale interweave above slides (delta, Phi) only.
+#
+# This kernel proposes the 1-D scale family along that measured axis,
+# eps ~ N(0, sigma_eps^2):
+#
+#     sigma2 -> sigma2 e^eps          Phi -> Phi e^{eps/2}
+#     delta[:, 0] -> delta[:, 0] e^{-eps}        (so tilde_tau -> e^{-eps})
+#     [xi -> xi e^{eps/2},  delta_xi[:, 0, :] -> e^{-eps} likewise]
+#
+# holding (Z, chi, nu, eta, gamma, A) fixed.  As in update_mgp_scale the
+# non-centered coordinates Phi*sqrt(tilde_tau*gamma) are HELD FIXED: the
+# Gaussian Phi/xi prior normalization (-eps/2 per entry) cancels the
+# Phi/xi map Jacobian (+eps/2 per entry) exactly, leaving
+#
+#   log a = beta*dloglik
+#           - alpha_0*eps - (beta_0/sigma2)(e^{-eps}-1)        [sigma2 IG
+#                                                + its +eps Jacobian]
+#           - eps*sum_k A[k,0] - (e^{-eps}-1)*sum_k delta[k,0] [delta Gamma
+#                                                + its -eps/k Jacobian]
+#           [- the same two terms over (k,d) for delta_xi]
+#
+#   dloglik = -n_tot*eps/2 - (RSS(s e^{eps/2}) e^{-eps} - RSS(s))/(2 sigma2)
+#
+# Because the move only rescales the eigen contribution e_n = B_n U_n chi_n
+# of the fitted mean (U from Phi and xi both), RSS at cumulative scale s
+# collapses to the scalar quadratic  RSS(s) = rr0 - 2 s re + s^2 ee  with
+# rr0 = ||y - B a||^2, ee = ||e||^2, re = <y - B a, e> materialized ONCE in
+# residual space (f32-stable, ops/mean.py rationale) — so n_moves chained
+# MH proposals cost pure scalar math.  Exactness is covered by the
+# production-sweep Geweke joint-invariance test (tests/test_geweke_covadj
+# .py::test_geweke_collapsed_gauge_sweep).  Reference anchors: the sigma2
+# conditional this interweaves with (UpdateSigma.h:22-58) and the MGP tower
+# it re-coordinates (UpdateDelta.h:17-64, UpdatePhi.h:76-78).
+# ---------------------------------------------------------------------------
+
+def _noise_scale_log_acc(eps, s, sig2, d0, d0xi, rss_coeffs, n_tot, sumA,
+                         hp, beta):
+    """Closed-form MH log-acceptance of one noise/eigen-scale slide at
+    cumulative eigen scale ``s`` (derivation in the block comment above;
+    verified against a brute-force posterior-ratio + Jacobian computation
+    in tests/test_collapsed_gauge.py)."""
+    rr0, re, ee = rss_coeffs
+
+    def rss(sc):
+        return rr0 - 2.0 * sc * re + sc * sc * ee
+
+    em = jnp.exp(-eps)
+    dll = -beta * (n_tot * eps / 2.0
+                   + (rss(s * jnp.exp(eps / 2.0)) * em - rss(s))
+                   / (2.0 * sig2))
+    return (dll - hp.alpha_0 * eps - hp.beta_0 / sig2 * (em - 1.0)
+            - sumA * eps - (em - 1.0) * (d0 + d0xi))
+
+
+def update_noise_scale(key, state, data, hp, cache: SweepCache, beta=1.0, *,
+                       sigma_eps=0.015, n_moves=8):
+    """``n_moves`` chained joint (sigma2, MGP/eigen-scale) slide moves.
+
+    The usable step is set by the likelihood curvature along the family,
+    ~ (n_tot + ee/sigma2)^{-1/2} ~ 0.01 at the headline scale (n_tot =
+    1e4); n_moves is nearly free (scalar chain after two length-L
+    einsums), so the kernel diffuses across the measured ~2% per-chain
+    sigma2 offsets in O(10^1-10^2) sweeps."""
+    D = data.D
+    dt = state.Phi.dtype
+    # eigen contribution (the part the move rescales) and its complement
+    U = eigen_directions(state, data.X)                      # (N, P, M)
+    ec = jnp.einsum("npm,nm->np", U, state.chi, **_HI)       # (N, P)
+    ac = cache.w - ec
+    if data.identity_basis:
+        r0 = data.y - ac
+        e = ec
+    else:
+        r0 = data.y - jnp.einsum("nlp,np->nl", data.B, ac, **_HI)
+        e = jnp.einsum("nlp,np->nl", data.B, ec, **_HI)
+    rr0 = jnp.sum(r0 * r0)
+    ee = jnp.sum(e * e)
+    re = jnp.sum(r0 * e)
+    n_tot = data.n_obs_total
+    sumA = jnp.sum(state.A[:, 0])
+    sum_d0 = jnp.sum(state.delta[:, 0])
+    if D > 0:
+        sumA = sumA + jnp.sum(state.A_xi[:, 0, :])
+        sum_d0_xi = jnp.sum(state.delta_xi[:, 0, :])
+    else:
+        sum_d0_xi = jnp.zeros((), dt)
+
+    def body(i, carry):
+        s, sig2, d0, d0xi = carry
+        ki = jax.random.fold_in(key, 104729 + i)
+        ke, ku = jax.random.split(ki)
+        eps = sigma_eps * jax.random.normal(ke, dtype=dt)
+        log_acc = _noise_scale_log_acc(
+            eps, s, sig2, d0, d0xi, (rr0, re, ee), n_tot, sumA, hp, beta)
+        ok = jnp.log(jax.random.uniform(ku)) < jnp.nan_to_num(
+            log_acc, nan=-jnp.inf)
+        gr = jnp.where(ok, jnp.exp(eps), 1.0)
+        return (s * jnp.sqrt(gr), sig2 * gr, d0 / gr, d0xi / gr)
+
+    s, sig2, d0, d0xi = jax.lax.fori_loop(
+        0, n_moves, body,
+        (jnp.ones((), dt), state.sigma2, sum_d0, sum_d0_xi),
+        unroll=_unroll(n_moves))
+    new = dict(sigma2=sig2,
+               Phi=state.Phi * s,
+               delta=state.delta.at[:, 0].mul(1.0 / (s * s)))
+    if D > 0:
+        new["xi"] = state.xi * s
+        new["delta_xi"] = state.delta_xi.at[:, 0, :].mul(1.0 / (s * s))
+    return state.replace(**new), cache.replace(w=ac + s * ec)
 
 
 # ---------------------------------------------------------------------------
@@ -1245,9 +1363,11 @@ def sweep_full(key, state, data, hp, c, *, covariate_mean=False,
     if gauge:
         state = update_gauge(jax.random.fold_in(key, 1299709), state,
                              data, hp)
-        # interweaved MGP-scale moves ride the same flag: both target the
+        # interweaved scale moves ride the same flag: all target the
         # measured slow directions beyond the reference's kernel census
         state, cache = update_mgp_scale(
             jax.random.fold_in(key, 2750159), state, data, hp,
             build_cache(data, state), beta)
+        state, cache = update_noise_scale(
+            jax.random.fold_in(key, 4256233), state, data, hp, cache, beta)
     return state

@@ -26,9 +26,15 @@ Two replacements, both exact (same arithmetic, reordered):
     large batch dims with no tile padding.  Measured ~40x faster than the
     stock batched path at M=4, batch 25600.
 
-These are used by the joint blocked draws (update_phi/update_xi via
-mvn_from_chol_blocked) and the M-space kernels (update_chi_joint,
-update_z_chi).  Exactness is covered by the kernel recovery tests and the
+The joint blocked draws (update_phi/update_xi) route through
+`mvn_from_precision_fused`, whose chain-vmapped TPU path is the Pallas
+batch-minor fused factor+solve kernel and whose fallback is
+`blocked_tri_solves`; the M-space kernels (update_chi_joint, update_z_chi)
+use the small_* unrolled forms.  `blocked_cholesky` /
+`mvn_from_chol_blocked` / `BLOCKED_MIN_DIM` are kept as benchmark/test
+references for the blocked substitution path (benchmarks/
+kernel_breakdown.py, tests/test_linalg.py) — no production kernel calls
+them directly.  Exactness is covered by the kernel recovery tests and the
 Geweke joint-invariance suites, which run both code paths.
 """
 
@@ -251,9 +257,14 @@ def small_solve_upper_t(L, b):
 
 
 def _pallas_chol_ok(D, dtype):
+    # VMEM bound: the kernel holds input block + scratch = 2*D^2*CB*4B per
+    # core; at D=128 that is ~16.8MB, over the ~16MB budget (advisor
+    # round-4) — cap at 112 so oversize D falls back to the blocked XLA
+    # path instead of failing Mosaic compilation.  D > 112 routes to the
+    # tiled two-level path (precision_draw_pair_tiled) where applicable.
     return (os.environ.get("BFMMM_PALLAS_CHOL", "1") == "1"
             and jax.default_backend() == "tpu"
-            and dtype == jnp.float32 and D % 8 == 0 and D <= 128)
+            and dtype == jnp.float32 and D % 8 == 0 and D <= 112)
 
 
 @jax.custom_batching.custom_vmap
@@ -294,7 +305,11 @@ def _precision_draw_pair_vmap(axis_size, in_batched, A, b, z):
         mean = jnp.moveaxis(mean_T[:, :C], -1, 0)
         noise = jnp.moveaxis(noise_T[:, :C], -1, 0)
         return (mean, noise), (True, True)
-    L = jnp.linalg.cholesky(A)
+    # beyond the Pallas VMEM gate (e.g. config 4's 256-dim joint xi draw):
+    # blocked Cholesky (measured ~5x over the stock unblocked lowering at
+    # D=96, see blocked_cholesky docstring) + blocked substitution
+    L = blocked_cholesky(A) if (D > BLOCKED_MIN_DIM and not _stock()) \
+        else jnp.linalg.cholesky(A)
     m, n = blocked_tri_solves(L, b, z)
     return (m, n), (True, True)
 

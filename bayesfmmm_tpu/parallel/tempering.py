@@ -37,6 +37,37 @@ def geometric_ladder(n_replicas: int, beta_min: float) -> jnp.ndarray:
     return beta_min ** (i / (n_replicas - 1))
 
 
+def auto_ladder(sd_E: float, beta_min: float, *, target_accept=0.4,
+                max_replicas=64):
+    """Size a PT ladder from a measured energy sd (round-4 VERDICT #4).
+
+    For likelihood-only tempering the swap log-acceptance of an adjacent
+    pair is dbeta * (E_j - E_i); with E fluctuations of scale sd(E) per
+    replica, mean acceptance ~ 2*Phi(-dbeta*sd(E)) under the Gaussian
+    approximation (Predescu et al. 2004), so hitting ``target_accept``
+    needs  dbeta = z / sd(E),  z = -Phi^{-1}(target/2).  The reference
+    hard-codes a geometric ladder with NO such check (BFMMM.h:661-670);
+    the round-4 measurement (benchmarks/pt_operating_point.py) showed that
+    at n = 1e4 observations the practical dbeta ~ n^{-1/2} ~ 0.01, so the
+    default 8-replica ladder to beta=0.3 had swap_rate exactly 0.0 —
+    silent 8x cost for zero benefit (BENCH_SUITE.md round-4 §4.1).
+
+    Returns (ladder ndarray [1 ... >= beta_min], feasible flag).  When the
+    needed rung count exceeds ``max_replicas`` the ladder is clamped to
+    max_replicas rungs spanning only the reachable beta range and
+    ``feasible`` is False — the caller should surface that PT cannot
+    bridge to ``beta_min`` at a useful cost on this posterior.
+    """
+    from jax.scipy.special import ndtri
+    z = float(-ndtri(target_accept / 2.0))
+    dbeta = z / max(float(sd_E), 1e-12)
+    n_needed = int(-(-(1.0 - beta_min) // dbeta)) + 1
+    feasible = n_needed <= max_replicas
+    n = min(n_needed, max_replicas)
+    lo = beta_min if feasible else 1.0 - (n - 1) * dbeta
+    return jnp.linspace(1.0, lo, n), feasible
+
+
 def _loglik_portion(state, data):
     """E(state): the tempered factor (calculatePZeta:46-47 at beta=1)."""
     from bayesfmmm_tpu.ops.mean import effective_coeffs, rss_from_coeffs
@@ -113,13 +144,20 @@ def pt_step(key, pt: PTState, data, hp, c, ladder, *, parity,
 def run_parallel_tempering(key, init_states, data, hp, c, *, n_rounds,
                            beta_min=0.3, n_sweeps_between=1,
                            covariate_mean=False, covariate_cov=False,
-                           collapsed_z=False, gauge=False):
+                           collapsed_z=False, gauge=False, ladder=None):
     """Run PT; returns (cold-chain trace dict, PTState, swap rate).
 
-    init_states: replica-stacked GibbsState (leading axis R).
+    init_states: replica-stacked GibbsState (leading axis R).  ``ladder``
+    overrides the default geometric spacing (e.g. an `auto_ladder` result);
+    its length must match R.
     """
     R = jax.tree.leaves(init_states)[0].shape[0]
-    ladder = geometric_ladder(R, beta_min).astype(data.y.dtype)
+    if ladder is None:
+        ladder = geometric_ladder(R, beta_min)
+    ladder = jnp.asarray(ladder).astype(data.y.dtype)
+    if ladder.shape[0] != R:
+        raise ValueError(f"ladder length {ladder.shape[0]} != replica "
+                         f"count {R}")
     pt = pt_init(init_states)
 
     def round_fn(carry, inp):

@@ -27,7 +27,7 @@ import numpy as np
 
 
 def run_point(n_chains, warmup, kept, data=None, seed=0, a_z=None,
-              collapsed=False, gauge=False, p_indep=0.1):
+              collapsed=False, gauge=False, p_indep=0.3):
     import jax
     import jax.numpy as jnp
 
@@ -149,7 +149,7 @@ def main():
                     help="use the partially collapsed (Z, chi) kernel")
     ap.add_argument("--gauge", action="store_true",
                     help="append gauge MH moves to every sweep")
-    ap.add_argument("--p_indep", type=float, default=0.1,
+    ap.add_argument("--p_indep", type=float, default=0.3,
                     help="independence-proposal weight of the collapsed "
                          "(Z, chi) kernel's proposal mixture")
     args = ap.parse_args()

@@ -168,6 +168,43 @@ def test_resume_batched(tmp_path):
     assert back["Nu"].shape[0] == 200    # 4 batches x 50
 
 
+def test_fit_warm_start_ensemble_resume(tmp_path):
+    """The warm-ensemble protocol through the PUBLIC API (round-4 VERDICT
+    #7): checkpoint_to saves the full chain ensemble + per-chain keys;
+    resume_from continues it deterministically (two resumes from the same
+    checkpoint are bit-identical) with iteration bookkeeping chained."""
+    from bayesfmmm_tpu import api
+    data, cfg = _small()
+    r1 = api.fit_nu_z(data=data, K=2, M=2, tot_mcmc_iters=100, seed=0)
+    r2 = api.fit_theta(r1, tot_mcmc_iters=100, seed=1)
+    ck = str(tmp_path / "ens.npz")
+    ra = api.fit_warm_start(r1, r2, tot_mcmc_iters=120, n_chains=3,
+                            progress=False, checkpoint_to=ck)
+    assert ra.ensemble_state.Z.shape[0] == 3
+
+    rb = api.fit_warm_start(resume_from=ck, data=data, tot_mcmc_iters=100,
+                            progress=False)
+    rc = api.fit_warm_start(resume_from=ck, data=data, tot_mcmc_iters=100,
+                            progress=False)
+    assert rb.ensemble_state.Z.shape[0] == 3
+    for k in rb.traces:
+        np.testing.assert_array_equal(rb.traces[k], rc.traces[k])
+    # the resumed ensemble actually moved from the checkpointed state
+    assert float(jnp.max(jnp.abs(
+        rb.ensemble_state.nu - ra.ensemble_state.nu))) > 1e-6
+
+    # chained resume: iteration bookkeeping accumulates, randomness fresh
+    ck2 = str(tmp_path / "ens2.npz")
+    api.fit_warm_start(resume_from=ck, data=data, tot_mcmc_iters=100,
+                       progress=False, checkpoint_to=ck2)
+    _, _, it = load_checkpoint(ck2)
+    assert it == 220
+    rd = api.fit_warm_start(resume_from=ck2, data=data, tot_mcmc_iters=100,
+                            progress=False)
+    assert not np.array_equal(rd.traces["nu"][:100],
+                              rb.traces["nu"][:100])
+
+
 def test_resume_batched_refuses_stale_directory(tmp_path):
     """A directory whose batch count disagrees with the checkpoint's stored
     iteration must be refused, not silently spliced (round-1 VERDICT)."""

@@ -112,6 +112,100 @@ def test_gauge_maps_exact_mu_invariance():
     assert float(jnp.max(jnp.abs(st5.chi - st.chi))) < 1e-5
 
 
+def test_noise_scale_log_acc_matches_brute_force():
+    """The joint (sigma2, delta, Phi[, xi]) slide's closed-form MH
+    log-acceptance (gibbs._noise_scale_log_acc) equals the brute-force
+    posterior ratio + map Jacobian, for both D=0 and covariate-adjusted
+    states — the exactness proof of the derivation in the kernel's block
+    comment (the Geweke config is too small to resolve formula errors in
+    this direction)."""
+    from bayesfmmm_tpu.models.likelihood import log_likelihood
+    from bayesfmmm_tpu.ops.mean import eigen_directions, effective_coeffs
+
+    def logprior_moved(st, data):
+        """Prior terms the slide can change (unnormalized is fine: dropped
+        constants cancel in the ratio)."""
+        tilde = jnp.cumprod(st.delta, axis=1)
+        lp = 0.5 * jnp.sum(jnp.log(tilde[:, None, :] * st.gamma)) \
+            - 0.5 * jnp.sum(tilde[:, None, :] * st.gamma * st.Phi ** 2)
+        lp = lp + jnp.sum((st.A[:, 0] - 1.0) * jnp.log(st.delta[:, 0])
+                          - st.delta[:, 0])
+        hp = Priors()
+        lp = lp - (hp.alpha_0 + 1.0) * jnp.log(st.sigma2) \
+            - hp.beta_0 / st.sigma2
+        if data.D > 0:
+            tx = jnp.cumprod(st.delta_xi, axis=1)            # (K, M, D)
+            pri = tx.transpose(0, 2, 1)[:, None, :, :]        # (K,1,D,M)
+            lp = lp + 0.5 * jnp.sum(jnp.log(pri * st.gamma_xi)) \
+                - 0.5 * jnp.sum(pri * st.gamma_xi * st.xi ** 2)
+            lp = lp + jnp.sum(
+                (st.A_xi[:, 0, :] - 1.0) * jnp.log(st.delta_xi[:, 0, :])
+                - st.delta_xi[:, 0, :])
+        return lp
+
+    def apply_map(st, data, eps):
+        s = jnp.exp(eps / 2.0)
+        new = dict(sigma2=st.sigma2 * jnp.exp(eps), Phi=st.Phi * s,
+                   delta=st.delta.at[:, 0].mul(jnp.exp(-eps)))
+        if data.D > 0:
+            new["xi"] = st.xi * s
+            new["delta_xi"] = st.delta_xi.at[:, 0, :].mul(jnp.exp(-eps))
+        return st.replace(**new)
+
+    with jax.enable_x64():
+        for D, seed in ((0, 11), (2, 12)):
+            K, P, M, N = 3, 6, 3, 15
+            data, _ = simulate_functional(
+                seed=seed, N=N, K=K, P=P, M=M, D=D, with_eta=D > 0,
+                with_xi=D > 0, n_time=(25, 30), dtype=jnp.float64)
+            hp = Priors()
+            st = init_state(
+                jax.random.PRNGKey(seed),
+                ModelConfig(K=K, P=P, M=M, D=D, covariate_mean=D > 0,
+                            covariate_cov=D > 0), data)
+            st = jax.tree.map(lambda x: jnp.asarray(x, jnp.float64), st)
+            # make delta/A/xi non-trivial so every term is exercised
+            kk = jax.random.split(jax.random.PRNGKey(seed + 50), 4)
+            st = st.replace(
+                delta=jax.random.gamma(kk[0], 2.0, st.delta.shape,
+                                       jnp.float64),
+                A=0.5 + jax.random.gamma(kk[1], 2.0, st.A.shape,
+                                         jnp.float64),
+                sigma2=jnp.asarray(0.37, jnp.float64))
+            if D > 0:
+                st = st.replace(
+                    delta_xi=jax.random.gamma(kk[2], 2.0, st.delta_xi.shape,
+                                              jnp.float64),
+                    A_xi=0.5 + jax.random.gamma(kk[3], 2.0, st.A_xi.shape,
+                                                jnp.float64))
+            # scalars the kernel's closed form consumes, from spec
+            U = eigen_directions(st, data.X)
+            ec = jnp.einsum("npm,nm->np", U, st.chi)
+            ac = effective_coeffs(st, data.X) - ec
+            r0 = data.y - jnp.einsum("nlp,np->nl", data.B, ac)
+            e = jnp.einsum("nlp,np->nl", data.B, ec)
+            coeffs = (jnp.sum(r0 * r0), jnp.sum(r0 * e), jnp.sum(e * e))
+            sumA = jnp.sum(st.A[:, 0]) + (jnp.sum(st.A_xi[:, 0, :])
+                                          if D > 0 else 0.0)
+            d0 = jnp.sum(st.delta[:, 0])
+            d0xi = jnp.sum(st.delta_xi[:, 0, :]) if D > 0 \
+                else jnp.zeros((), jnp.float64)
+            jac = 1.0 - K - K * D + K * P * M / 2.0 + K * P * D * M / 2.0
+            for eps in (0.23, -0.4, 0.05):
+                eps = jnp.asarray(eps, jnp.float64)
+                closed = gibbs._noise_scale_log_acc(
+                    eps, jnp.asarray(1.0, jnp.float64), st.sigma2, d0, d0xi,
+                    coeffs, float(np.sum(np.asarray(data.mask))), sumA, hp,
+                    1.0)
+                st2 = apply_map(st, data, eps)
+                brute = (log_likelihood(st2, data) - log_likelihood(st, data)
+                         + logprior_moved(st2, data) - logprior_moved(st, data)
+                         + eps * jac)
+                assert abs(float(closed) - float(brute)) < 1e-7 * (
+                    1.0 + abs(float(brute))), (D, float(eps), float(closed),
+                                               float(brute))
+
+
 def test_gauge_kernel_preserves_likelihood_and_simplex():
     K, P, M = 3, 8, 4
     data, _ = simulate_functional(seed=9, N=25, K=K, P=P, M=M,

@@ -88,6 +88,20 @@ def test_precision_draw_pair_vmapped_matches_reference():
     np.testing.assert_allclose(noise, noise_ref, atol=5e-4)
 
 
+def test_precision_draw_pair_large_d_blocked_path():
+    """D=256 (config 4's joint xi dimension) exceeds the Pallas gate and
+    must route through blocked_cholesky + blocked substitution — value-
+    equivalent to the stock pipeline (round-4 VERDICT #3)."""
+    key = jax.random.PRNGKey(6)
+    A = _spd(key, (3,), 256, diag=40.0)
+    b = jax.random.normal(jax.random.fold_in(key, 1), (3, 256))
+    z = jax.random.normal(jax.random.fold_in(key, 2), (3, 256))
+    mean, noise = jax.jit(jax.vmap(precision_draw_pair))(A, b, z)
+    mean_ref, noise_ref = _ref_solves(A, b, z)
+    np.testing.assert_allclose(mean, mean_ref, atol=5e-5)
+    np.testing.assert_allclose(noise, noise_ref, atol=5e-4)
+
+
 def test_pallas_chol_solve_kernel_interpret():
     """The Pallas batch-minor kernel itself, in interpret mode (runs
     everywhere): exactness vs the stock pipeline, including lane padding."""

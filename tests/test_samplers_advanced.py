@@ -51,6 +51,53 @@ def test_parallel_tempering_runs_and_swaps(setup):
         np.asarray(cold_trace.Z).sum(-1), 1.0, atol=1e-5)
 
 
+def test_auto_ladder_sizing():
+    """auto_ladder (round-4 VERDICT #4): rung spacing follows the measured
+    energy sd; an infeasible bridge (large-n posterior, sd(E) ~ sqrt(n))
+    is clamped and flagged instead of silently returning a dead ladder."""
+    # small sd: few rungs, reaches beta_min, feasible
+    lad, ok = tempering.auto_ladder(5.0, 0.3, target_accept=0.4)
+    assert ok and float(lad[0]) == 1.0
+    np.testing.assert_allclose(float(lad[-1]), 0.3, atol=1e-6)
+    assert lad.shape[0] <= 6
+    # spacing ~ z/sd: half the acceptance-implied z per unit sd
+    db = float(lad[0] - lad[1])
+    assert 0.15 < db * 5.0 < 0.75
+    # large sd (near the headline scale): needs ~60 rungs, still feasible
+    lad2, ok2 = tempering.auto_ladder(70.0, 0.3, max_replicas=64)
+    assert ok2 and 40 <= lad2.shape[0] <= 64
+    # infeasible: sd(E) ~ 1e3 would need ~560 rungs -> clamped + flagged
+    lad3, ok3 = tempering.auto_ladder(1000.0, 0.3, max_replicas=64)
+    assert not ok3
+    assert lad3.shape[0] == 64
+    assert float(lad3[-1]) > 0.3     # only the reachable range is spanned
+    assert np.all(np.diff(np.asarray(lad3)) < 0)
+
+
+def test_fit_pt_auto_ladder_and_swap_warning(setup):
+    """fit_pt with ladder='auto' sizes the ladder from a measured pilot
+    and achieves a NONZERO swap rate on a feasible config; a fixed
+    geometric ladder with a hopeless spacing raises the swap-rate warning
+    instead of passing silently (round-4 VERDICT #4)."""
+    import warnings
+
+    from bayesfmmm_tpu import api
+    data, truth, cfg, c = setup
+    r1 = api.fit_nu_z(data=data, K=2, M=2, tot_mcmc_iters=100, seed=0)
+    r2 = api.fit_theta(r1, tot_mcmc_iters=100, seed=1)
+    res = api.fit_pt(r1, r2, tot_mcmc_iters=150, beta_min=0.5,
+                     ladder="auto", pilot_sweeps=60, max_replicas=8,
+                     seed=3)
+    assert res.ladder is not None and res.ladder.shape[0] >= 2
+    assert res.swap_rate > 0.0, res.swap_rate
+    # hopeless fixed ladder: 2 rungs spanning 1 -> 0.01 on this posterior
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        api.fit_pt(r1, r2, tot_mcmc_iters=100, n_replicas=2,
+                   beta_min=0.01, ladder="geometric", seed=4)
+    assert any("swap rate" in str(x.message) for x in w)
+
+
 def test_smc_anneals_to_posterior(setup):
     data, truth, cfg, c = setup
     N_part = 16
