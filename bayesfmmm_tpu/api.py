@@ -584,7 +584,8 @@ def fit_smc(Y=None, time=None, *, data=None, K, M=1, X=None,
             target_cess=0.7, ess_threshold=0.5,
             priors: Priors | None = None, basis_degree=3,
             internal_knots=None, boundary_knots=None, basis_degrees=None,
-            internal_knots_list=None, covariate_cov=False, seed=0):
+            internal_knots_list=None, covariate_cov=False, seed=0,
+            kernels="reference"):
     """Adaptive tempered SMC fit — prior-to-posterior annealing with
     systematic resampling and tempered-Gibbs mutation (samplers/smc.py).
 
@@ -614,11 +615,15 @@ def fit_smc(Y=None, time=None, *, data=None, K, M=1, X=None,
     init_keys = jax.random.split(jax.random.fold_in(key, 999), n_particles)
     particles = jax.jit(jax.vmap(
         lambda k: init_state(k, cfg, data, c=c_vec)))(init_keys)
+    if kernels not in ("reference", "production"):
+        raise ValueError("kernels must be 'reference' or 'production'")
+    use_production = kernels == "production"
     result = jax.jit(lambda k, p: run_smc(
         k, p, data, hp, c_vec, n_mutation_sweeps=n_mutation_sweeps,
         target_cess=target_cess, ess_threshold=ess_threshold,
         covariate_mean=cfg.covariate_mean,
-        covariate_cov=cfg.covariate_cov))(key, particles)
+        covariate_cov=cfg.covariate_cov, collapsed_z=use_production,
+        gauge=use_production))(key, particles)
     w = np.asarray(jax.nn.softmax(result.log_weights))
     est = {f: np.tensordot(w, np.asarray(getattr(result.particles, f)),
                            axes=1)

@@ -1265,6 +1265,141 @@ def update_noise_scale(key, state, data, hp, cache: SweepCache, beta=1.0, *,
 
 
 # ---------------------------------------------------------------------------
+# Collapsed (Phi, chi) update — MH on Phi under the CHI-MARGINAL likelihood.
+#
+# NOT a reference kernel.  Round-5 diagnosis (benchmarks/fit_spread_diag.py
+# on the equilibrated 256-chain ensemble): the residual cross-chain R-hat
+# direction is pure FIT QUALITY — the profile log-likelihood (sigma2
+# profiled out) carries 26.8 of the 26.9-unit between-chain loglik sd
+# (corr 0.998), with cross-chain RSS offsets of ~0.5% persisting for
+# thousands of sweeps; the sigma2/MGP-scale couplings round 4 diagnosed
+# are slaved symptoms (moving them measurably does NOT shrink the spread —
+# benchmarks/noise_scale_probe.py trajectory).
+#
+# Mechanism: Phi and chi form a bilinear pair.  The exact conditional
+# Phi | chi (update_phi) has precision ~ (beta/sigma2) sum_n chi^2 G_n —
+# extremely tight at high SNR — while the chi-MARGINAL posterior of Phi
+# (the "Bayesian PCA" posterior of the eigen structure, width ~ 1/sqrt(N))
+# is far broader.  Alternating two tight conditionals random-walks the
+# marginal with steps of conditional width: mixing time ~ (marginal/
+# conditional width)^2 ~ thousands of sweeps — exactly the measured tau.
+# The same coupling pathology motivated the collapsed (Z, chi) kernel
+# (update_z_chi); this kernel applies the identical partially-collapsed
+# pattern (Van Dyk & Park 2008) to Phi:
+#
+#   1. MH moves on single Phi columns (k, m) under the chi-marginal
+#      likelihood  y_n | Phi ~ N(B_n a_n, (sigma2/beta) I + F_n F_n'),
+#      F_n = B_n U_n  (the CPO marginal, CalculateLikelihood.h:361-372),
+#      evaluated in M-space via C_n = I + s U_n' G_n U_n exactly as
+#      update_z_chi does, with the MGP prior term for the column;
+#   2. one exact joint redraw of ALL chi rows given the final Phi.
+#
+# Nothing reads the stale chi in between, so the composition leaves the
+# joint invariant; the proof rides the production-sweep Geweke test
+# (tests/test_geweke_covadj.py::test_geweke_collapsed_gauge_sweep).
+# ---------------------------------------------------------------------------
+
+def update_phi_chi(key, state, data, hp, cache: SweepCache, beta=1.0, *,
+                   sigma_rw=0.1, n_moves=6):
+    """``n_moves`` chi-marginal MH column moves on Phi + joint chi redraw.
+
+    Proposal: uniform column (k, m); step N(0, sigma_rw^2 * col_scale^2 I)
+    with col_scale = (||Phi_k[:, m]|| + 0.1)/sqrt(N) — the marginal
+    posterior width of an eigen column scales like its norm over sqrt(N)
+    observations, so one tuning constant serves every shrinkage level.
+    The scale depends on the (changing) column norm, so the proposal is
+    not symmetric; the Hastings ratio evaluates both directions' Gaussian
+    densities explicitly.
+    """
+    K, P, M = state.Phi.shape
+    N = data.N
+    s = beta / state.sigma2
+    dt = state.Phi.dtype
+    tilde_tau = jnp.cumprod(state.delta, axis=1)              # (K, M)
+
+    # Phi-independent precomputes: mean-only residual pieces
+    a = _mean_only_offsets(state, data.X)                     # (N, K, P)
+    a = jnp.einsum("nk,nkp->np", state.Z, a, **_HI)           # (N, P)
+    if data.identity_basis:
+        r0 = data.y - a
+        ur = data.u - a
+    else:
+        r0 = data.y - jnp.einsum("nlp,np->nl", data.B, a, **_HI)
+        ur = data.u - jnp.einsum("npq,nq->np", data.G, a, **_HI)
+    rr0 = jnp.sum(r0 * r0, axis=-1)                           # (N,)
+    eyeM = jnp.eye(M, dtype=dt)
+
+    def marg_ll(U):
+        """Total chi-marginal log-likelihood for eigen directions U."""
+        GU = U if data.identity_basis \
+            else jnp.einsum("npq,nqm->npm", data.G, U, **_HI)
+        C = eyeM + s * jnp.einsum("npm,npl->nml", U, GU, **_HI)
+        Lc = small_chol(C)
+        Fr = jnp.einsum("npm,np->nm", U, ur, **_HI)
+        wv = small_solve_lower(Lc, Fr)
+        quad = s * rr0 - s * s * jnp.sum(wv * wv, axis=-1)
+        return -0.5 * jnp.sum(small_chol_logdet(Lc) + quad)
+
+    U0 = eigen_directions(state, data.X)                      # (N, P, M)
+
+    def col_scale(Phi, k, m):
+        col = jax.lax.dynamic_slice(
+            Phi, (k, 0, m), (1, P, 1))[0, :, 0]
+        return (jnp.linalg.norm(col) + 0.1) / jnp.sqrt(
+            jnp.asarray(N, dt)), col
+
+    def body(i, carry):
+        Phi, U, ll = carry
+        ki = jax.random.fold_in(key, 86028121 + i)
+        kk, ke, ku = jax.random.split(ki, 3)
+        idx = jax.random.randint(kk, (), 0, K * M)
+        k = idx // M
+        m = idx % M
+        sc, col = col_scale(Phi, k, m)
+        step = sigma_rw * sc * jax.random.normal(ke, (P,), dt)
+        col_new = col + step
+        # Hastings for the norm-adaptive scale (reverse uses new norm)
+        sc_new, _ = col_scale(
+            jax.lax.dynamic_update_slice(Phi, col_new[None, :, None],
+                                         (k, 0, m)), k, m)
+        lq_fwd = -P * jnp.log(sc) \
+            - jnp.sum(step * step) / (2.0 * (sigma_rw * sc) ** 2)
+        lq_bwd = -P * jnp.log(sc_new) \
+            - jnp.sum(step * step) / (2.0 * (sigma_rw * sc_new) ** 2)
+        zk = state.Z[:, k]
+        U_new = U.at[:, :, m].add(zk[:, None] * step[None, :])
+        ll_new = marg_ll(U_new)
+        pri = tilde_tau[k, m] * jax.lax.dynamic_slice(
+            state.gamma, (k, 0, m), (1, P, 1))[0, :, 0]
+        dpri = -0.5 * jnp.sum(pri * (col_new ** 2 - col ** 2))
+        log_acc = ll_new - ll + dpri + lq_bwd - lq_fwd
+        ok = jnp.log(jax.random.uniform(ku)) < jnp.nan_to_num(
+            log_acc, nan=-jnp.inf)
+        Phi = jnp.where(ok, jax.lax.dynamic_update_slice(
+            Phi, col_new[None, :, None], (k, 0, m)), Phi)
+        U = jnp.where(ok, U_new, U)
+        ll = jnp.where(ok, ll_new, ll)
+        return Phi, U, ll
+
+    Phi, U, _ = jax.lax.fori_loop(
+        0, n_moves, body, (state.Phi, U0, marg_ll(U0)),
+        unroll=_unroll(n_moves))
+
+    # exact joint chi | Phi redraw (update_chi_joint machinery, a-based)
+    kc = jax.random.fold_in(key, 179424673)
+    GU = U if data.identity_basis \
+        else jnp.einsum("npq,nqm->npm", data.G, U, **_HI)
+    C = eyeM + s * jnp.einsum("npm,npl->nml", U, GU, **_HI)
+    Lc = small_chol(C)
+    b = s * jnp.einsum("npm,np->nm", U, ur, **_HI)
+    z = jax.random.normal(kc, (N, M), dt)
+    chi = small_solve_upper_t(Lc, small_solve_lower(Lc, b)) \
+        + small_solve_upper_t(Lc, z)
+    w = a + jnp.einsum("npm,nm->np", U, chi, **_HI)
+    return state.replace(Phi=Phi, chi=chi), cache.replace(w=w)
+
+
+# ---------------------------------------------------------------------------
 # Sweep compositions — the three phase drivers' scan orders
 # (BFMMM.h:1073-1100 phase 1; :1253-1298 phase 2; :1500-1554 phase 3;
 # CovAdj orders from BFMMM.h:3742-3769, :3952-3999, :4810-4893).
@@ -1370,4 +1505,6 @@ def sweep_full(key, state, data, hp, c, *, covariate_mean=False,
             build_cache(data, state), beta)
         state, cache = update_noise_scale(
             jax.random.fold_in(key, 4256233), state, data, hp, cache, beta)
+        state, cache = update_phi_chi(
+            jax.random.fold_in(key, 5800079), state, data, hp, cache, beta)
     return state

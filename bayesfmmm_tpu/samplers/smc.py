@@ -80,7 +80,8 @@ class SMCResult(NamedTuple):
 
 def run_smc(key, init_particles, data, hp, c, *, n_mutation_sweeps=2,
             target_cess=0.7, ess_threshold=0.5, max_stages=200,
-            covariate_mean=False, covariate_cov=False):
+            covariate_mean=False, covariate_cov=False,
+            collapsed_z=False, gauge=False):
     """Adaptive tempered SMC.  init_particles: particle-stacked GibbsState."""
     N = jax.tree.leaves(init_particles)[0].shape[0]
     loglik_v = jax.vmap(lambda s: _loglik(s, data))
@@ -91,7 +92,8 @@ def run_smc(key, init_particles, data, hp, c, *, n_mutation_sweeps=2,
                 return gibbs.sweep_full(kk, s, data, hp, c,
                                         covariate_mean=covariate_mean,
                                         covariate_cov=covariate_cov,
-                                        beta=beta), None
+                                        beta=beta, collapsed_z=collapsed_z,
+                                        gauge=gauge), None
             ks = jax.random.split(k, n_mutation_sweeps)
             st, _ = jax.lax.scan(body, st, ks)
             return st

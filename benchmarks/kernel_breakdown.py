@@ -90,10 +90,14 @@ def main():
         "chi_seq": mk(gibbs.update_chi),
         "chi_joint": mk(gibbs.update_chi_joint),
         "gauge": lambda key, st: gibbs.update_gauge(key, st, data, hp),
+        "mgp_scale": mk(gibbs.update_mgp_scale),
+        "noise_scale": mk(gibbs.update_noise_scale),
         "full_sweep_gauge": lambda key, st: gibbs.sweep_full(
             key, st, data, hp, c, gauge=True),
         "full_sweep_plain": lambda key, st: gibbs.sweep_full(
             key, st, data, hp, c, gauge=False),
+        "full_sweep_production": lambda key, st: gibbs.sweep_full(
+            key, st, data, hp, c, gauge=True, collapsed_z=True),
     }
 
     for name, kernel in kernels.items():

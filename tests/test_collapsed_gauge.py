@@ -112,6 +112,42 @@ def test_gauge_maps_exact_mu_invariance():
     assert float(jnp.max(jnp.abs(st5.chi - st.chi))) < 1e-5
 
 
+def test_phi_chi_marginal_moves_and_preserves_fit():
+    """update_phi_chi (collapsed (Phi, chi) column MH + joint chi redraw):
+    started AT the simulation truth on high-SNR data, the kernel must (a)
+    accept moves (the marginal target tolerates column perturbations at
+    the 1/sqrt(N) scale), (b) keep the fit at truth level (loglik within a
+    few units), and (c) keep chi consistent (exact joint redraw)."""
+    from bayesfmmm_tpu.models.likelihood import log_likelihood
+    K, P, M, N = 3, 8, 2, 40
+    data, truth = simulate_functional(seed=21, N=N, K=K, P=P, M=M,
+                                      n_time=(60, 70), sigma2=0.001)
+    hp = Priors()
+    st = init_state(jax.random.PRNGKey(0), ModelConfig(K=K, P=P, M=M), data)
+    st = st.replace(Z=truth.Z, nu=truth.nu, chi=truth.chi, Phi=truth.Phi,
+                    sigma2=truth.sigma2)
+    ll_truth = float(log_likelihood(truth, data))
+
+    def run(k, st):
+        def body(carry, kk):
+            cache = build_cache(data, carry)
+            s, _ = gibbs.update_phi_chi(kk, carry, data, hp, cache)
+            return s, s.Phi
+        return jax.lax.scan(body, st, jax.random.split(k, 200))
+
+    final, Phis = jax.jit(run)(jax.random.PRNGKey(5), st)
+    Phis = np.asarray(Phis)
+    # (a) the chain moved: Phi changed over the run
+    n_changed = int(np.sum(np.any(Phis[1:] != Phis[:-1], axis=(1, 2, 3))))
+    assert n_changed > 20, n_changed
+    # (b) fit quality preserved at truth level
+    ll = float(log_likelihood(final, data))
+    assert abs(ll - ll_truth) < 0.02 * abs(ll_truth) + 50, (ll, ll_truth)
+    # (c) everything finite
+    assert np.isfinite(np.asarray(final.Phi)).all()
+    assert np.isfinite(np.asarray(final.chi)).all()
+
+
 def test_noise_scale_log_acc_matches_brute_force():
     """The joint (sigma2, delta, Phi[, xi]) slide's closed-form MH
     log-acceptance (gibbs._noise_scale_log_acc) equals the brute-force
