@@ -51,9 +51,13 @@ from bayesfmmm_tpu.ops.distributions import (
 from bayesfmmm_tpu.ops.linalg import (
     mvn_from_precision_fused,
     small_chol,
+    small_chol_entries,
     small_chol_logdet,
+    small_logdet_entries,
     small_solve_lower,
+    small_solve_lower_entries,
     small_solve_upper_t,
+    small_solve_upper_t_entries,
 )
 from bayesfmmm_tpu.ops.mean import (
     SweepCache,
@@ -284,9 +288,17 @@ def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
     """
     s = beta / state.sigma2
     Tm = _mean_only_offsets(state, data.X)        # (N, K, P)
-    V = _feature_eigendirs(state, data.X)         # (N, K, P, M)
     Mm = state.M
-    eyeM = jnp.eye(Mm, dtype=state.chi.dtype)
+    # per-column feature eigen-directions: V_m[n, k, p] = Phi_k[:, m]
+    # (+ xi_k[:, :, m] x_n) — built per column so no (N, K, P, M) or
+    # (E, N, M, M) trailing-small tensor is ever materialized (the
+    # entries-interface rationale, ops/linalg.py; measured round 5)
+    if data.X.shape[1] > 0:
+        Vl = [state.Phi[None, :, :, m]
+              + jnp.einsum("kpd,nd->nkp", state.xi[:, :, :, m], data.X,
+                           **_HI) for m in range(Mm)]
+    else:
+        Vl = [state.Phi[:, :, m] for m in range(Mm)]
 
     def row_stats(Z2):
         """Stacked endpoints: Z2 (E, N, K) -> per-endpoint stats (E, ...).
@@ -294,28 +306,31 @@ def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
         One batched pass for both MH endpoints halves the dispatch count of
         the kernel's large einsums (per-sweep-latency, VERDICT #4)."""
         a = jnp.einsum("enk,nkp->enp", Z2, Tm, **_HI)         # (E, N, P)
-        U = jnp.einsum("enk,nkpm->enpm", Z2, V, **_HI)        # (E, N, P, M)
+        if data.X.shape[1] > 0:
+            Ul = [jnp.einsum("enk,nkp->enp", Z2, V, **_HI) for V in Vl]
+        else:
+            Ul = [jnp.einsum("enk,kp->enp", Z2, V, **_HI) for V in Vl]
         if data.identity_basis:
-            GU, Ga = U, a
+            GUl, Ga = Ul, a
             r = data.y[None] - a
         else:
-            GU = jnp.einsum("npq,enqm->enpm", data.G, U, **_HI)
+            GUl = [jnp.einsum("npq,enq->enp", data.G, u, **_HI)
+                   for u in Ul]
             Ga = jnp.einsum("npq,enq->enp", data.G, a, **_HI)
             r = data.y[None] - jnp.einsum("nlp,enp->enl", data.B, a, **_HI)
-        C = eyeM + s * jnp.einsum("enpm,enpl->enml", U, GU, **_HI)
-        Fr = jnp.einsum("enpm,enp->enm", U, data.u[None] - Ga, **_HI)
+        ur = data.u[None] - Ga
+        C = [[(1.0 if i == j else 0.0)
+              + s * jnp.einsum("enp,enp->en", Ul[i], GUl[j], **_HI)
+              for j in range(i + 1)] for i in range(Mm)]
+        Fr = [jnp.einsum("enp,enp->en", u, ur, **_HI) for u in Ul]
         rr = jnp.sum(r * r, axis=-1)                           # residual space
-        # entrywise-unrolled Cholesky: the stock batched (.., M, M) path is
-        # tile-padded ~256x per step (ops/linalg.py); eigenvalues >= 1 so
-        # no jitter is needed
-        Lc = small_chol(C)
-        return a, U, Lc, Fr, rr
+        Lc = small_chol_entries(C)
+        return a, Ul, Lc, Fr, rr
 
     def marg_loglik(Lc, Fr, rr):
-        logdet = small_chol_logdet(Lc)
-        wv = small_solve_lower(Lc, Fr)
-        quad = s * rr - s * s * jnp.sum(wv * wv, axis=-1)
-        return -0.5 * (logdet + quad)
+        wv = small_solve_lower_entries(Lc, Fr)
+        quad = s * rr - s * s * sum(v * v for v in wv)
+        return -0.5 * (small_logdet_entries(Lc) + quad)
 
     def row_lprior2(Z2):
         return jnp.sum((state.alpha3 * state.pi - 1.0) * jnp.log(Z2),
@@ -345,12 +360,11 @@ def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
         return fwd, bwd
 
     Zstack = jnp.stack([state.Z, Z_new])
-    a2, U2, Lc2, Fr2, rr2 = row_stats(Zstack)
-    (a_o, a_n), (U_o, U_n) = a2, U2
-    (Lc_o, Lc_n), (Fr_o, Fr_n), (rr_o, rr_n) = Lc2, Fr2, rr2
+    a2, Ul2, Lc2, Fr2, rr2 = row_stats(Zstack)
     lpr = row_lprior2(Zstack)
-    lp_old = marg_loglik(Lc_o, Fr_o, rr_o) + lpr[0]
-    lp_new = marg_loglik(Lc_n, Fr_n, rr_n) + lpr[1]
+    ml = marg_loglik(Lc2, Fr2, rr2)                 # (2, N)
+    lp_old = ml[0] + lpr[0]
+    lp_new = ml[1] + lpr[1]
     q_fwd, q_bwd = log_q_mix2(Z_new, state.Z)
     log_acc = lp_new - lp_old + q_bwd - q_fwd
     boundary = jnp.any(state.Z <= 0.0, axis=1)
@@ -359,18 +373,21 @@ def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
     accept = accept | boundary
     acc = accept[:, None]
     Z = jnp.where(acc, Z_new, state.Z)
-    a = jnp.where(acc, a_n, a_o)
-    U = jnp.where(acc[..., None], U_n, U_o)
-    Lc = jnp.where(acc[..., None], Lc_n, Lc_o)
-    Fr = jnp.where(acc, Fr_n, Fr_o)
+    a = jnp.where(acc, a2[1], a2[0])
+    Ul = [jnp.where(acc, u_[1], u_[0]) for u_ in Ul2]
+    Lc = [[jnp.where(accept, e[1], e[0]) for e in row] for row in Lc2]
+    Fr = [jnp.where(accept, f[1], f[0]) for f in Fr2]
 
     # exact joint chi | Z draw: precision C = I + s U'GU, linear b = s F'r
-    z = jax.random.normal(kc, (data.N, Mm), state.chi.dtype)
-    hw = small_solve_lower(Lc, s * Fr)
-    mean = small_solve_upper_t(Lc, hw)
-    noise = small_solve_upper_t(Lc, z)
-    chi = mean + noise
-    w = a + jnp.einsum("npm,nm->np", U, chi, **_HI)
+    z = jax.random.normal(kc, (Mm, data.N), state.chi.dtype)
+    mean = small_solve_upper_t_entries(
+        Lc, small_solve_lower_entries(Lc, [s * f for f in Fr]))
+    noise = small_solve_upper_t_entries(Lc, [z[m] for m in range(Mm)])
+    chi_cols = [mean[m] + noise[m] for m in range(Mm)]
+    w = a
+    for m in range(Mm):
+        w = w + chi_cols[m][:, None] * Ul[m]
+    chi = jnp.stack(chi_cols, axis=-1)
     return state.replace(Z=Z, chi=chi), cache.replace(w=w)
 
 
@@ -645,22 +662,31 @@ def update_chi_joint(key, state, data, hp, cache: SweepCache, beta=1.0):
     s = beta / state.sigma2
     U = eigen_directions(state, data.X)                      # (N, P, M)
     a = cache.w - jnp.einsum("npm,nm->np", U, state.chi, **_HI)
-    if data.identity_basis:
-        GU, Ga = U, a
-    else:
-        GU = jnp.einsum("npq,nqm->npm", data.G, U, **_HI)
-        Ga = jnp.einsum("npq,nq->np", data.G, a, **_HI)
     Mm = state.M
-    C = jnp.eye(Mm, dtype=state.chi.dtype) \
-        + s * jnp.einsum("npm,npl->nml", U, GU, **_HI)
-    b = s * jnp.einsum("npm,np->nm", U, data.u - Ga, **_HI)
-    Lc = small_chol(C)        # entrywise-unrolled (ops/linalg.py)
-    z = jax.random.normal(key, (data.N, Mm), state.chi.dtype)
-    hw = small_solve_lower(Lc, b)
-    mean = small_solve_upper_t(Lc, hw)
-    noise = small_solve_upper_t(Lc, z)
-    chi = mean + noise
-    w = a + jnp.einsum("npm,nm->np", U, chi, **_HI)
+    # entries form: the (N, M, M) precision is never materialized — its
+    # trailing-(M, M) layout tiles to (8, 128) vregs, a ~32x HBM blowup
+    # paid by the building einsum and every later slice (ops/linalg.py
+    # entries-interface rationale; measured in BENCH_SUITE.md round 5)
+    Ul = [U[:, :, m] for m in range(Mm)]
+    if data.identity_basis:
+        GUl, Ga = Ul, a
+    else:
+        GUl = [jnp.einsum("npq,nq->np", data.G, u, **_HI) for u in Ul]
+        Ga = jnp.einsum("npq,nq->np", data.G, a, **_HI)
+    ur = data.u - Ga
+    C = [[(1.0 if i == j else 0.0)
+          + s * jnp.einsum("np,np->n", Ul[i], GUl[j], **_HI)
+          for j in range(i + 1)] for i in range(Mm)]
+    b = [s * jnp.einsum("np,np->n", Ul[m], ur, **_HI) for m in range(Mm)]
+    Lc = small_chol_entries(C)
+    z = jax.random.normal(key, (Mm, data.N), state.chi.dtype)
+    mean = small_solve_upper_t_entries(Lc, small_solve_lower_entries(Lc, b))
+    noise = small_solve_upper_t_entries(Lc, [z[m] for m in range(Mm)])
+    chi_cols = [mean[m] + noise[m] for m in range(Mm)]
+    w = a
+    for m in range(Mm):
+        w = w + chi_cols[m][:, None] * Ul[m]
+    chi = jnp.stack(chi_cols, axis=-1)
     return state.replace(chi=chi), cache.replace(w=w)
 
 
@@ -1327,20 +1353,30 @@ def update_phi_chi(key, state, data, hp, cache: SweepCache, beta=1.0, *,
         r0 = data.y - jnp.einsum("nlp,np->nl", data.B, a, **_HI)
         ur = data.u - jnp.einsum("npq,nq->np", data.G, a, **_HI)
     rr0 = jnp.sum(r0 * r0, axis=-1)                           # (N,)
-    eyeM = jnp.eye(M, dtype=dt)
+    sum_rr0 = jnp.sum(rr0)
 
-    def marg_ll(U):
-        """Total chi-marginal log-likelihood for eigen directions U."""
-        GU = U if data.identity_basis \
-            else jnp.einsum("npq,nqm->npm", data.G, U, **_HI)
-        C = eyeM + s * jnp.einsum("npm,npl->nml", U, GU, **_HI)
-        Lc = small_chol(C)
-        Fr = jnp.einsum("npm,np->nm", U, ur, **_HI)
-        wv = small_solve_lower(Lc, Fr)
-        quad = s * rr0 - s * s * jnp.sum(wv * wv, axis=-1)
-        return -0.5 * jnp.sum(small_chol_logdet(Lc) + quad)
-
+    # U/GU carried as per-column tuples: no trailing-(M, M) or (P, M)
+    # tensor is ever materialized inside the move loop (the entries-
+    # interface rationale, ops/linalg.py)
     U0 = eigen_directions(state, data.X)                      # (N, P, M)
+    Ul0 = tuple(U0[:, :, m] for m in range(M))
+    if data.identity_basis:
+        GUl0 = Ul0
+    else:
+        GUl0 = tuple(jnp.einsum("npq,nq->np", data.G, u, **_HI)
+                     for u in Ul0)
+
+    def marg_ll(Ul, GUl):
+        """Total chi-marginal log-likelihood from per-column U entries."""
+        C = [[(1.0 if i == j else 0.0)
+              + s * jnp.einsum("np,np->n", Ul[i], GUl[j], **_HI)
+              for j in range(i + 1)] for i in range(M)]
+        Lc = small_chol_entries(C)
+        Fr = [jnp.einsum("np,np->n", Ul[m], ur, **_HI) for m in range(M)]
+        wv = small_solve_lower_entries(Lc, Fr)
+        quad = sum(jnp.sum(v * v) for v in wv)
+        return -0.5 * (jnp.sum(small_logdet_entries(Lc))
+                       + s * sum_rr0 - s * s * quad)
 
     def col_scale(Phi, k, m):
         col = jax.lax.dynamic_slice(
@@ -1349,7 +1385,7 @@ def update_phi_chi(key, state, data, hp, cache: SweepCache, beta=1.0, *,
             jnp.asarray(N, dt)), col
 
     def body(i, carry):
-        Phi, U, ll = carry
+        Phi, Ul, GUl, ll = carry
         ki = jax.random.fold_in(key, 86028121 + i)
         kk, ke, ku = jax.random.split(ki, 3)
         idx = jax.random.randint(kk, (), 0, K * M)
@@ -1367,8 +1403,15 @@ def update_phi_chi(key, state, data, hp, cache: SweepCache, beta=1.0, *,
         lq_bwd = -P * jnp.log(sc_new) \
             - jnp.sum(step * step) / (2.0 * (sigma_rw * sc_new) ** 2)
         zk = state.Z[:, k]
-        U_new = U.at[:, :, m].add(zk[:, None] * step[None, :])
-        ll_new = marg_ll(U_new)
+        dU = zk[:, None] * step[None, :]                       # (N, P)
+        dGU = dU if data.identity_basis \
+            else jnp.einsum("npq,nq->np", data.G, dU, **_HI)
+        Ul_new = tuple(jnp.where(m == j, u + dU, u)
+                       for j, u in enumerate(Ul))
+        GUl_new = Ul_new if data.identity_basis \
+            else tuple(jnp.where(m == j, g + dGU, g)
+                       for j, g in enumerate(GUl))
+        ll_new = marg_ll(Ul_new, GUl_new)
         pri = tilde_tau[k, m] * jax.lax.dynamic_slice(
             state.gamma, (k, 0, m), (1, P, 1))[0, :, 0]
         dpri = -0.5 * jnp.sum(pri * (col_new ** 2 - col ** 2))
@@ -1377,25 +1420,153 @@ def update_phi_chi(key, state, data, hp, cache: SweepCache, beta=1.0, *,
             log_acc, nan=-jnp.inf)
         Phi = jnp.where(ok, jax.lax.dynamic_update_slice(
             Phi, col_new[None, :, None], (k, 0, m)), Phi)
-        U = jnp.where(ok, U_new, U)
+        Ul = tuple(jnp.where(ok, n_, o_) for n_, o_ in zip(Ul_new, Ul))
+        if not data.identity_basis:
+            GUl = tuple(jnp.where(ok, n_, o_)
+                        for n_, o_ in zip(GUl_new, GUl))
+        else:
+            GUl = Ul
         ll = jnp.where(ok, ll_new, ll)
-        return Phi, U, ll
+        return Phi, Ul, GUl, ll
 
-    Phi, U, _ = jax.lax.fori_loop(
-        0, n_moves, body, (state.Phi, U0, marg_ll(U0)),
+    Phi, Ul, GUl, _ = jax.lax.fori_loop(
+        0, n_moves, body, (state.Phi, Ul0, GUl0, marg_ll(Ul0, GUl0)),
         unroll=_unroll(n_moves))
 
-    # exact joint chi | Phi redraw (update_chi_joint machinery, a-based)
+    # exact joint chi | Phi redraw (entries form, update_chi_joint pattern)
     kc = jax.random.fold_in(key, 179424673)
-    GU = U if data.identity_basis \
-        else jnp.einsum("npq,nqm->npm", data.G, U, **_HI)
-    C = eyeM + s * jnp.einsum("npm,npl->nml", U, GU, **_HI)
-    Lc = small_chol(C)
-    b = s * jnp.einsum("npm,np->nm", U, ur, **_HI)
-    z = jax.random.normal(kc, (N, M), dt)
-    chi = small_solve_upper_t(Lc, small_solve_lower(Lc, b)) \
-        + small_solve_upper_t(Lc, z)
-    w = a + jnp.einsum("npm,nm->np", U, chi, **_HI)
+    C = [[(1.0 if i == j else 0.0)
+          + s * jnp.einsum("np,np->n", Ul[i], GUl[j], **_HI)
+          for j in range(i + 1)] for i in range(M)]
+    Lc = small_chol_entries(C)
+    b = [s * jnp.einsum("np,np->n", Ul[m], ur, **_HI) for m in range(M)]
+    z = jax.random.normal(kc, (M, N), dt)
+    mean = small_solve_upper_t_entries(Lc, small_solve_lower_entries(Lc, b))
+    noise = small_solve_upper_t_entries(Lc, [z[m] for m in range(M)])
+    chi_cols = [mean[m] + noise[m] for m in range(M)]
+    w = a
+    for m in range(M):
+        w = w + chi_cols[m][:, None] * Ul[m]
+    chi = jnp.stack(chi_cols, axis=-1)
+    return state.replace(Phi=Phi, chi=chi), cache.replace(w=w)
+
+
+def update_phi_mala(key, state, data, hp, cache: SweepCache, beta=1.0, *,
+                    step=0.05, n_steps=4):
+    """Preconditioned MALA on the WHOLE Phi under the chi-marginal target,
+    then one exact joint chi redraw — the gradient-based big sibling of
+    update_phi_chi's column moves.
+
+    One gradient evaluation moves all K*P*M coordinates at once; with the
+    optimal-scaling step ~ dim^{-1/6} the expected squared jump per
+    marginal evaluation is an order of magnitude above the column
+    random walk's, which is what the measured ~10^3-sweep fit-level
+    autocorrelation needs (BENCH_SUITE.md round-5 study).  Preconditioner:
+    diagonal, per-column scale (||Phi_k[:, m]|| + 0.1)/sqrt(N), FROZEN at
+    kernel entry (each internal step uses the same fixed scale in both
+    proposal densities, so every step is a valid MH move and the
+    composition is invariant).  The joint-invariance proof rides the
+    production-sweep Geweke test when wired in via ``phi_mala_steps``.
+    """
+    K, P, M = state.Phi.shape
+    N = data.N
+    s = beta / state.sigma2
+    dt = state.Phi.dtype
+    tilde_tau = jnp.cumprod(state.delta, axis=1)              # (K, M)
+    pri = tilde_tau[:, None, :] * state.gamma                 # (K, P, M)
+
+    a = _mean_only_offsets(state, data.X)
+    a = jnp.einsum("nk,nkp->np", state.Z, a, **_HI)           # (N, P)
+    if data.identity_basis:
+        r0 = data.y - a
+        ur = data.u - a
+    else:
+        r0 = data.y - jnp.einsum("nlp,np->nl", data.B, a, **_HI)
+        ur = data.u - jnp.einsum("npq,nq->np", data.G, a, **_HI)
+    sum_rr0 = jnp.sum(r0 * r0)
+
+    def potential(Phi):
+        """-(beta-tempered chi-marginal loglik + MGP log prior), entries
+        form (no trailing-(M, M) tensor; ops/linalg.py rationale)."""
+        if data.X.shape[1] > 0:
+            Vl = [Phi[None, :, :, m]
+                  + jnp.einsum("kpd,nd->nkp", state.xi[:, :, :, m],
+                               data.X, **_HI) for m in range(M)]
+            Ul = [jnp.einsum("nk,nkp->np", state.Z, V, **_HI) for V in Vl]
+        else:
+            Ul = [jnp.einsum("nk,kp->np", state.Z, Phi[:, :, m], **_HI)
+                  for m in range(M)]
+        GUl = Ul if data.identity_basis else \
+            [jnp.einsum("npq,nq->np", data.G, u, **_HI) for u in Ul]
+        C = [[(1.0 if i == j else 0.0)
+              + s * jnp.einsum("np,np->n", Ul[i], GUl[j], **_HI)
+              for j in range(i + 1)] for i in range(M)]
+        Lc = small_chol_entries(C)
+        Fr = [jnp.einsum("np,np->n", Ul[m], ur, **_HI) for m in range(M)]
+        wv = small_solve_lower_entries(Lc, Fr)
+        quad = sum(jnp.sum(v * v) for v in wv)
+        ll = -0.5 * (jnp.sum(small_logdet_entries(Lc))
+                     + s * sum_rr0 - s * s * quad)
+        return -(ll - 0.5 * jnp.sum(pri * Phi * Phi))
+
+    pot_grad = jax.value_and_grad(potential)
+
+    # frozen diagonal preconditioner: per-column marginal width scale
+    w_col = (jnp.sqrt(jnp.sum(state.Phi ** 2, axis=1)) + 0.1) \
+        / jnp.sqrt(jnp.asarray(N, dt))                        # (K, M)
+    W = jnp.broadcast_to(w_col[:, None, :], (K, P, M))
+    V = W * W
+    e2 = step * step
+
+    def body(i, carry):
+        x, pot, grad = carry
+        ki = jax.random.fold_in(key, 53916731 + i)
+        ke, ku = jax.random.split(ki)
+        xi = jax.random.normal(ke, x.shape, dt)
+        mean_f = x - 0.5 * e2 * V * grad
+        x_new = mean_f + step * W * xi
+        pot_new, grad_new = pot_grad(x_new)
+        lq_fwd = -0.5 * jnp.sum(xi * xi)
+        mean_b = x_new - 0.5 * e2 * V * grad_new
+        db = x - mean_b
+        lq_bwd = -jnp.sum(db * db / V) / (2.0 * e2)
+        log_acc = pot - pot_new + lq_bwd - lq_fwd
+        ok = jnp.log(jax.random.uniform(ku)) < jnp.nan_to_num(
+            log_acc, nan=-jnp.inf)
+        x = jnp.where(ok, x_new, x)
+        pot = jnp.where(ok, pot_new, pot)
+        grad = jnp.where(ok, grad_new, grad)
+        return x, pot, grad
+
+    pot0, grad0 = pot_grad(state.Phi)
+    Phi, _, _ = jax.lax.fori_loop(0, n_steps, body,
+                                  (state.Phi, pot0, grad0),
+                                  unroll=_unroll(n_steps))
+
+    # exact joint chi | Phi redraw (entries form)
+    if data.X.shape[1] > 0:
+        Vl = [Phi[None, :, :, m]
+              + jnp.einsum("kpd,nd->nkp", state.xi[:, :, :, m],
+                           data.X, **_HI) for m in range(M)]
+        Ul = [jnp.einsum("nk,nkp->np", state.Z, V, **_HI) for V in Vl]
+    else:
+        Ul = [jnp.einsum("nk,kp->np", state.Z, Phi[:, :, m], **_HI)
+              for m in range(M)]
+    GUl = Ul if data.identity_basis else \
+        [jnp.einsum("npq,nq->np", data.G, u, **_HI) for u in Ul]
+    C = [[(1.0 if i == j else 0.0)
+          + s * jnp.einsum("np,np->n", Ul[i], GUl[j], **_HI)
+          for j in range(i + 1)] for i in range(M)]
+    Lc = small_chol_entries(C)
+    b = [s * jnp.einsum("np,np->n", Ul[m], ur, **_HI) for m in range(M)]
+    z = jax.random.normal(jax.random.fold_in(key, 15487469), (M, N), dt)
+    mean = small_solve_upper_t_entries(Lc, small_solve_lower_entries(Lc, b))
+    noise = small_solve_upper_t_entries(Lc, [z[m] for m in range(M)])
+    chi_cols = [mean[m] + noise[m] for m in range(M)]
+    w = a
+    for m in range(M):
+        w = w + chi_cols[m][:, None] * Ul[m]
+    chi = jnp.stack(chi_cols, axis=-1)
     return state.replace(Phi=Phi, chi=chi), cache.replace(w=w)
 
 
@@ -1453,7 +1624,8 @@ def sweep_theta(key, state, data, hp, *, covariate_mean=False,
 
 def sweep_full(key, state, data, hp, c, *, covariate_mean=False,
                covariate_cov=False, beta=1.0, collapsed_z=False,
-               gauge=False, p_indep=0.3):
+               gauge=False, p_indep=0.3, phi_chi_moves=0,
+               phi_chi_sigma=0.1, phi_mala_steps=4, phi_mala_step=0.05):
     """Phase-3 (production) sweep.
 
     Plain order (BFMMM.h:1500-1554): Z, pi, alpha3, Phi, delta, A, gamma,
@@ -1505,6 +1677,12 @@ def sweep_full(key, state, data, hp, c, *, covariate_mean=False,
             build_cache(data, state), beta)
         state, cache = update_noise_scale(
             jax.random.fold_in(key, 4256233), state, data, hp, cache, beta)
-        state, cache = update_phi_chi(
-            jax.random.fold_in(key, 5800079), state, data, hp, cache, beta)
+        if phi_chi_moves > 0:
+            state, cache = update_phi_chi(
+                jax.random.fold_in(key, 5800079), state, data, hp, cache,
+                beta, sigma_rw=phi_chi_sigma, n_moves=phi_chi_moves)
+        if phi_mala_steps > 0:
+            state, cache = update_phi_mala(
+                jax.random.fold_in(key, 7368787), state, data, hp, cache,
+                beta, step=phi_mala_step, n_steps=phi_mala_steps)
     return state

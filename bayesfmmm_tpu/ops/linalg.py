@@ -331,3 +331,71 @@ def small_chol_logdet(L):
     """log det of the SPD matrix whose Cholesky factor is L: 2*sum log diag."""
     return 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Entries interface — small-matrix linalg WITHOUT the (.., M, M) tensor.
+#
+# Round-5 finding (benchmarks/op_census.py; the phi_chi/z_chi cost study in
+# BENCH_SUITE.md): even with the entrywise-unrolled small_chol, the mere
+# MATERIALIZATION of a trailing-(M, M) tensor is the cost — a
+# (chains, N, 4, 4) f32 C matrix tiles to (.., 8, 128) vregs, a 32x HBM
+# write/read blowup (105 MB for the headline shapes), paid by every einsum
+# that produces it and every slice that reads it.  These helpers take and
+# return the M(M+1)/2 entries as SEPARATE (batch...)-shaped arrays, so the
+# packed layout never exists; callers build each entry with one tiny
+# contraction.  Arithmetic is identical to small_chol/small_solve_* —
+# value-equivalence is covered by tests/test_linalg.py.
+# ---------------------------------------------------------------------------
+
+
+def small_chol_entries(a):
+    """Cholesky of the SPD matrix whose lower-tri entries are a[i][j]
+    ((batch...)-shaped arrays, j <= i); returns L in the same ragged
+    lower-triangular format (row i has i + 1 entries)."""
+    M = len(a)
+    L = [[None] * (i + 1) for i in range(M)]
+    for j in range(M):
+        s = a[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(s)
+        inv = 1.0 / L[j][j]
+        for i in range(j + 1, M):
+            s = a[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    return L
+
+
+def small_solve_lower_entries(L, b):
+    """x with L x = b; b and x are length-M lists of (batch...) arrays."""
+    M = len(b)
+    x = []
+    for i in range(M):
+        s = b[i]
+        for j in range(i):
+            s = s - L[i][j] * x[j]
+        x.append(s / L[i][i])
+    return x
+
+
+def small_solve_upper_t_entries(L, b):
+    """x with L^T x = b for lower-triangular entries L."""
+    M = len(b)
+    x = [None] * M
+    for i in reversed(range(M)):
+        s = b[i]
+        for j in range(i + 1, M):
+            s = s - L[j][i] * x[j]
+        x[i] = s / L[i][i]
+    return x
+
+
+def small_logdet_entries(L):
+    """log det of the SPD matrix with Cholesky entries L."""
+    out = 2.0 * jnp.log(L[0][0])
+    for i in range(1, len(L)):
+        out = out + 2.0 * jnp.log(L[i][i])
+    return out

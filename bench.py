@@ -69,6 +69,10 @@ N_CHAINS = int(os.environ.get("BENCH_CHAINS", 256))
 GAUGE = os.environ.get("BENCH_GAUGE", "1") == "1"
 COLLAPSED = os.environ.get("BENCH_COLLAPSED", "1") == "1"
 P_INDEP = float(os.environ.get("BENCH_P_INDEP", 0.3))
+PHI_MOVES = int(os.environ.get("BENCH_PHI_MOVES", 0))
+PHI_SIGMA = float(os.environ.get("BENCH_PHI_SIGMA", 0.1))
+MALA_STEPS = int(os.environ.get("BENCH_MALA_STEPS", 4))
+MALA_STEP = float(os.environ.get("BENCH_MALA_STEP", 0.05))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 ANNEAL = min(5000, WARMUP)
 CHUNK = 5000
@@ -153,7 +157,10 @@ def main():
                     kk, b = inp
                     return gibbs.sweep_full(
                         kk, carry, data, hp, c, beta=b, gauge=GAUGE,
-                        collapsed_z=COLLAPSED, p_indep=P_INDEP), None
+                        collapsed_z=COLLAPSED, p_indep=P_INDEP,
+                        phi_chi_moves=PHI_MOVES, phi_chi_sigma=PHI_SIGMA,
+                        phi_mala_steps=MALA_STEPS,
+                        phi_mala_step=MALA_STEP), None
                 bs = jnp.linspace(b0, b1, n).astype(dtype)
                 st, _ = jax.lax.scan(body, st, (jax.random.split(k, n), bs))
                 return st
@@ -189,7 +196,11 @@ def main():
         def kept_chain(k, st):
             def body(carry, kk):
                 st = gibbs.sweep_full(kk, carry, data, hp, c, gauge=GAUGE,
-                                      collapsed_z=COLLAPSED, p_indep=P_INDEP)
+                                      collapsed_z=COLLAPSED, p_indep=P_INDEP,
+                                      phi_chi_moves=PHI_MOVES,
+                                      phi_chi_sigma=PHI_SIGMA,
+                                      phi_mala_steps=MALA_STEPS,
+                                      phi_mala_step=MALA_STEP)
                 w = st.Z[probe_obs] @ st.nu \
                     + jnp.einsum("nk,kpm,nm->np", st.Z[probe_obs], st.Phi,
                                  st.chi[probe_obs], precision="highest")

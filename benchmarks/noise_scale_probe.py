@@ -30,6 +30,8 @@ def main():
                     help="acceptance ladder only")
     ap.add_argument("--phi_accept", action="store_true",
                     help="collapsed (Phi, chi) acceptance ladder only")
+    ap.add_argument("--mala_accept", action="store_true",
+                    help="phi-MALA acceptance ladder only")
     ap.add_argument("--ckpt", default=os.path.expanduser(
         "~/.cache/bfmmm_bench/ens_c256_w150000_g1_z1_p0.3_seed7.npz"))
     args = ap.parse_args()
@@ -115,6 +117,26 @@ def main():
 
         out["phi_acceptance"] = {str(se): round(acc_rate(se), 3)
                                  for se in (0.05, 0.1, 0.2, 0.4, 0.8)}
+        print(json.dumps(out, indent=1))
+        return
+
+    if args.mala_accept:
+        def acc_rate(step, reps=32):
+            def one(k, st):
+                cachev = build_cache(data, st)
+                st2, _ = gibbs.update_phi_mala(
+                    k, st, data, hp, cachev, 1.0, step=step, n_steps=1)
+                return jnp.any(st2.Phi != st.Phi)
+            f = jax.jit(jax.vmap(one))
+            hits = 0
+            for r in range(reps):
+                ks = jax.vmap(lambda kk: jax.random.fold_in(
+                    kk, 61 + r))(chain_keys)
+                hits += float(jnp.mean(f(ks, states)))
+            return hits / reps
+
+        out["mala_acceptance"] = {str(se): round(acc_rate(se), 3)
+                                  for se in (0.02, 0.03, 0.04, 0.05, 0.06, 0.08)}
         print(json.dumps(out, indent=1))
         return
 

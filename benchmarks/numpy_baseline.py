@@ -106,7 +106,9 @@ class NumpyGibbs:
                 return (np.sum((a - 1) * np.log(x), axis=1)
                         + gammaln(a.sum(axis=1)) - gammaln(a).sum(axis=1))
 
-        la = lp(Znew) - lp(s["Z"]) + qd(s["Z"], aZ * Znew) - qd(Znew, aZ * s["Z"])
+        with np.errstate(invalid="ignore"):
+            la = lp(Znew) - lp(s["Z"]) \
+                + qd(s["Z"], aZ * Znew) - qd(Znew, aZ * s["Z"])
         acc = (np.log(self.rng.uniform(size=self.N)) < np.nan_to_num(la, nan=-np.inf)) \
             | np.any(s["Z"] <= 0, axis=1)
         s["Z"] = np.where(acc[:, None], Znew, s["Z"])

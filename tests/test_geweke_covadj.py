@@ -156,11 +156,15 @@ def test_geweke_covariate_adjusted_sweep():
 
 @pytest.mark.slow
 def test_geweke_collapsed_gauge_sweep():
-    """The production sweep (collapsed (Z, chi) block + gauge MH moves)
-    leaves the joint distribution invariant — the exactness proof for the
-    two non-reference kernels (ops/gibbs.py update_z_chi / update_gauge)."""
+    """The production sweep (collapsed (Z, chi) block + gauge MH moves +
+    the round-4/5 interweaves + BOTH collapsed-Phi kernels: column MH and
+    MALA) leaves the joint distribution invariant — the exactness proof
+    for every non-reference kernel (ops/gibbs.py update_z_chi /
+    update_gauge / update_mgp_scale / update_noise_scale / update_phi_chi
+    / update_phi_mala)."""
     _run_geweke(
         _prior_draw, _draw_y, _stats,
-        dict(collapsed_z=True, gauge=True),
+        dict(collapsed_z=True, gauge=True, phi_chi_moves=2,
+             phi_mala_steps=1),
         STAT_NAMES, None,
         n_mc=8000, n_sc=3000, n_chains=8, chi2_stats=(2, 3))
