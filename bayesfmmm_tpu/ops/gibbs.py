@@ -267,7 +267,7 @@ def _feature_eigendirs(state, X):
 
 
 def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
-                 p_indep=0.3):
+                 p_indep=0.3, label_swap=True):
     """Collapsed (Z, chi) block update; see block comment above.
 
     Proposal: a mixture — with probability ``p_indep`` an INDEPENDENCE draw
@@ -377,6 +377,46 @@ def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
     Ul = [jnp.where(acc, u_[1], u_[0]) for u_ in Ul2]
     Lc = [[jnp.where(accept, e[1], e[0]) for e in row] for row in Lc2]
     Fr = [jnp.where(accept, f[1], f[0]) for f in Fr2]
+
+    if label_swap:
+        # ---- per-row LABEL-SWAP stage (round-5; not a reference move) ----
+        # The freeze-test attribution (BENCH_SUITE.md round 5) shows the
+        # fit level is a function of Z alone: with Z frozen the loglik
+        # cannot move, and the residual cross-chain R-hat is carried by
+        # rare per-row allocation-basin changes the ~1% Dirichlet walk
+        # cannot make and the prior-independence draw rarely lands in.
+        # This stage proposes swapping two random coordinates of each row
+        # — the exact jump between a row's allocation basins.  Picking an
+        # ordered pair uniformly and swapping is an involution with a
+        # symmetric kernel, so the MH ratio is just the (chi-marginal)
+        # posterior ratio; judged with the same row_stats machinery and
+        # composed before the single chi redraw (both stages target the
+        # chi-marginal; nothing reads stale chi in between).
+        kp1, kp2, ks_u = jax.random.split(jax.random.fold_in(key, 97), 3)
+        K = state.Z.shape[1]
+        i1 = jax.random.randint(kp1, (data.N,), 0, K)
+        r2 = jax.random.randint(kp2, (data.N,), 0, K - 1)
+        i2 = jnp.where(r2 >= i1, r2 + 1, r2)
+        cols = jnp.arange(K)[None, :]
+        sel1 = cols == i1[:, None]
+        sel2 = cols == i2[:, None]
+        z_i1 = jnp.sum(jnp.where(sel1, Z, 0.0), axis=1, keepdims=True)
+        z_i2 = jnp.sum(jnp.where(sel2, Z, 0.0), axis=1, keepdims=True)
+        Z_swap = jnp.where(sel1, z_i2, jnp.where(sel2, z_i1, Z))
+        Zs2 = jnp.stack([Z, Z_swap])
+        a2s, Ul2s, Lc2s, Fr2s, rr2s = row_stats(Zs2)
+        mls = marg_loglik(Lc2s, Fr2s, rr2s)
+        lprs = row_lprior2(Zs2)
+        log_acc_s = (mls[1] + lprs[1]) - (mls[0] + lprs[0])
+        u_s = jax.random.uniform(ks_u, (data.N,))
+        acc_s1 = jnp.where(jnp.isnan(log_acc_s), False,
+                           jnp.log(u_s) < log_acc_s)
+        accs = acc_s1[:, None]
+        Z = jnp.where(accs, Z_swap, Z)
+        a = jnp.where(accs, a2s[1], a2s[0])
+        Ul = [jnp.where(accs, u_[1], u_[0]) for u_ in Ul2s]
+        Lc = [[jnp.where(acc_s1, e[1], e[0]) for e in row] for row in Lc2s]
+        Fr = [jnp.where(acc_s1, f[1], f[0]) for f in Fr2s]
 
     # exact joint chi | Z draw: precision C = I + s U'GU, linear b = s F'r
     z = jax.random.normal(kc, (Mm, data.N), state.chi.dtype)
