@@ -267,7 +267,8 @@ def _feature_eigendirs(state, X):
 
 
 def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
-                 p_indep=0.3, label_swap=True):
+                 p_indep=0.3, label_swap=True, anchor_prop=False,
+                 anchor_conc=300.0):
     """Collapsed (Z, chi) block update; see block comment above.
 
     Proposal: a mixture — with probability ``p_indep`` an INDEPENDENCE draw
@@ -417,6 +418,64 @@ def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
         Ul = [jnp.where(accs, u_[1], u_[0]) for u_ in Ul2s]
         Lc = [[jnp.where(acc_s1, e[1], e[0]) for e in row] for row in Lc2s]
         Fr = [jnp.where(acc_s1, f[1], f[0]) for f in Fr2s]
+
+    if anchor_prop:
+        # ---- ANCHOR-GUIDED independence stage (round 5) ----------------
+        # The 100k-window measurement shows per-chain allocation basins
+        # that neither the ~1% Dirichlet walk, the prior-independence
+        # draw, nor the coordinate swap reaches within 10^5 sweeps
+        # (BENCH_SUITE.md round-5 §3) — basins whose shape (e.g. a
+        # 60/0/40 split vs a 55/45/0 split) is far from every proposal's
+        # mass.  This stage evaluates each row's chi-marginal
+        # log-likelihood at the K CORNER anchors e_k (state-independent
+        # points, so the anchor weights are identical for the forward and
+        # reverse densities), picks an anchor from softmax of those
+        # values, and proposes z' ~ Dir(conc * e_a + 1/2) — a draw aimed
+        # at the basin the row's own marginal landscape prefers.  The
+        # Hastings ratio uses the full mixture density
+        # q(z) = sum_a P(a) Dir(z; conc e_a + 1/2) both ways (the shared
+        # normalizer cancels).  Rows currently touching the simplex
+        # boundary are excluded (q is improper at exact zeros).
+        K = state.Z.shape[1]
+        corners = jnp.eye(K, dtype=Z.dtype)                    # (K, K)
+        ka1, ka2, ka3 = jax.random.split(jax.random.fold_in(key, 131), 3)
+        # marginal ll at the K corners: one stacked row_stats pass
+        Zc = jnp.broadcast_to(corners[:, None, :], (K, data.N, K))
+        _, _, Lc_c, Fr_c, rr_c = row_stats(Zc)
+        ml_c = marg_loglik(Lc_c, Fr_c, rr_c)                   # (K, N)
+        Pa = jax.nn.softmax(ml_c, axis=0)                      # (K, N)
+        a_sel = jax.random.categorical(ka1, ml_c.T)            # (N,)
+        alpha_prop = anchor_conc * corners[a_sel] + 0.5        # (N, K)
+        Z_anchor = jax.vmap(rdirichlet)(
+            jax.random.split(ka2, data.N), alpha_prop)
+
+        def log_q_anchor(z):
+            """log sum_a P(a) Dir_unnorm(z; conc e_a + 1/2) per row."""
+            # per anchor a the exponent is (conc + 1/2 - 1) log z_a
+            # + sum_{k != a} (1/2 - 1) log z_k
+            #   = -1/2 sum_k log z_k + conc log z_a
+            lz = jnp.log(z)                                    # (N, K)
+            base = -0.5 * jnp.sum(lz, axis=1)                  # (N,)
+            per_a = base[None, :] + anchor_conc * lz.T         # (K, N)
+            return jax.scipy.special.logsumexp(
+                per_a + jnp.log(Pa + 1e-38), axis=0)           # (N,)
+
+        Zs3 = jnp.stack([Z, Z_anchor])
+        a3s, Ul3s, Lc3s, Fr3s, rr3s = row_stats(Zs3)
+        ml3 = marg_loglik(Lc3s, Fr3s, rr3s)
+        lpr3 = row_lprior2(Zs3)
+        log_acc_a = ((ml3[1] + lpr3[1]) - (ml3[0] + lpr3[0])
+                     + log_q_anchor(Z) - log_q_anchor(Z_anchor))
+        interior = jnp.all(Z > 0.0, axis=1)
+        u_a = jax.random.uniform(ka3, (data.N,))
+        acc_a1 = interior & jnp.where(jnp.isnan(log_acc_a), False,
+                                      jnp.log(u_a) < log_acc_a)
+        acca = acc_a1[:, None]
+        Z = jnp.where(acca, Z_anchor, Z)
+        a = jnp.where(acca, a3s[1], a3s[0])
+        Ul = [jnp.where(acca, u_[1], u_[0]) for u_ in Ul3s]
+        Lc = [[jnp.where(acc_a1, e[1], e[0]) for e in row] for row in Lc3s]
+        Fr = [jnp.where(acc_a1, f[1], f[0]) for f in Fr3s]
 
     # exact joint chi | Z draw: precision C = I + s U'GU, linear b = s F'r
     z = jax.random.normal(kc, (Mm, data.N), state.chi.dtype)

@@ -305,11 +305,13 @@ def _precision_draw_pair_vmap(axis_size, in_batched, A, b, z):
         mean = jnp.moveaxis(mean_T[:, :C], -1, 0)
         noise = jnp.moveaxis(noise_T[:, :C], -1, 0)
         return (mean, noise), (True, True)
-    # beyond the Pallas VMEM gate (e.g. config 4's 256-dim joint xi draw):
-    # blocked Cholesky (measured ~5x over the stock unblocked lowering at
-    # D=96, see blocked_cholesky docstring) + blocked substitution
-    L = blocked_cholesky(A) if (D > BLOCKED_MIN_DIM and not _stock()) \
-        else jnp.linalg.cholesky(A)
+    # Beyond the Pallas VMEM gate (e.g. config 4's 256-dim joint xi draw):
+    # stock Cholesky + blocked substitution.  blocked_cholesky was
+    # measured ~5x faster at (batch 256, D 96) but 35% SLOWER at the
+    # config-4 operating point (batch 4-16, D 256): its ~NB^2/2 small
+    # sequential panel ops cost more latency than the stock while-loop
+    # amortizes over a large batch (BENCH_SUITE.md round-5 suite notes).
+    L = jnp.linalg.cholesky(A)
     m, n = blocked_tri_solves(L, b, z)
     return (m, n), (True, True)
 

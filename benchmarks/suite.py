@@ -31,8 +31,11 @@ CONFIGS = {
             N=100, D=0, chains=16, iters=300),
     3: dict(name="CovAdjMean_eta_D2_K3", family="functional", K=3, P=8, M=3,
             N=100, D=2, with_eta=True, chains=8, iters=200),
+    # chains raised 4 -> 16 in round 5: the 256-dim joint xi factorization
+    # is latency-dominated, so 4 chains left ~98% of the chip idle; ESS/s
+    # per chip is the metric and the batch amortizes the while-loop steps
     4: dict(name="CovAdjCov_xi_fullM", family="functional", K=2, P=8,
-            M=16, N=80, D=1, with_eta=True, with_xi=True, chains=4,
+            M=16, N=80, D=1, with_eta=True, with_xi=True, chains=16,
             iters=150),
     5: dict(name="BHDFMMM_2D_K4_manychain", family="hd", K=4, P=16, M=4,
             N=64, D=0, chains=64, iters=100),
