@@ -378,6 +378,8 @@ def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
     Ul = [jnp.where(acc, u_[1], u_[0]) for u_ in Ul2]
     Lc = [[jnp.where(accept, e[1], e[0]) for e in row] for row in Lc2]
     Fr = [jnp.where(accept, f[1], f[0]) for f in Fr2]
+    ml_cur = jnp.where(accept, ml[1], ml[0])
+    lpr_cur = jnp.where(accept, lpr[1], lpr[0])
 
     if label_swap:
         # ---- per-row LABEL-SWAP stage (round-5; not a reference move) ----
@@ -404,20 +406,25 @@ def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
         z_i1 = jnp.sum(jnp.where(sel1, Z, 0.0), axis=1, keepdims=True)
         z_i2 = jnp.sum(jnp.where(sel2, Z, 0.0), axis=1, keepdims=True)
         Z_swap = jnp.where(sel1, z_i2, jnp.where(sel2, z_i1, Z))
-        Zs2 = jnp.stack([Z, Z_swap])
-        a2s, Ul2s, Lc2s, Fr2s, rr2s = row_stats(Zs2)
-        mls = marg_loglik(Lc2s, Fr2s, rr2s)
-        lprs = row_lprior2(Zs2)
-        log_acc_s = (mls[1] + lprs[1]) - (mls[0] + lprs[0])
+        # single-endpoint evaluation: the current endpoint's stats and
+        # (marginal ll, prior) are carried from the first stage
+        a2s, Ul2s, Lc2s, Fr2s, rr2s = row_stats(Z_swap[None])
+        ml_s = marg_loglik(Lc2s, Fr2s, rr2s)[0]
+        lpr_s = row_lprior2(Z_swap[None])[0]
+        log_acc_s = (ml_s + lpr_s) - (ml_cur + lpr_cur)
         u_s = jax.random.uniform(ks_u, (data.N,))
         acc_s1 = jnp.where(jnp.isnan(log_acc_s), False,
                            jnp.log(u_s) < log_acc_s)
         accs = acc_s1[:, None]
         Z = jnp.where(accs, Z_swap, Z)
-        a = jnp.where(accs, a2s[1], a2s[0])
-        Ul = [jnp.where(accs, u_[1], u_[0]) for u_ in Ul2s]
-        Lc = [[jnp.where(acc_s1, e[1], e[0]) for e in row] for row in Lc2s]
-        Fr = [jnp.where(acc_s1, f[1], f[0]) for f in Fr2s]
+        a = jnp.where(accs, a2s[0], a)
+        Ul = [jnp.where(accs, n_[0], o_) for n_, o_ in zip(Ul2s, Ul)]
+        Lc = [[jnp.where(acc_s1, n_[0], o_)
+               for n_, o_ in zip(nrow, orow)]
+              for nrow, orow in zip(Lc2s, Lc)]
+        Fr = [jnp.where(acc_s1, n_[0], o_) for n_, o_ in zip(Fr2s, Fr)]
+        ml_cur = jnp.where(acc_s1, ml_s, ml_cur)
+        lpr_cur = jnp.where(acc_s1, lpr_s, lpr_cur)
 
     if anchor_prop:
         # ---- ANCHOR-GUIDED independence stage (round 5) ----------------
@@ -460,11 +467,10 @@ def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
             return jax.scipy.special.logsumexp(
                 per_a + jnp.log(Pa + 1e-38), axis=0)           # (N,)
 
-        Zs3 = jnp.stack([Z, Z_anchor])
-        a3s, Ul3s, Lc3s, Fr3s, rr3s = row_stats(Zs3)
-        ml3 = marg_loglik(Lc3s, Fr3s, rr3s)
-        lpr3 = row_lprior2(Zs3)
-        log_acc_a = ((ml3[1] + lpr3[1]) - (ml3[0] + lpr3[0])
+        a3s, Ul3s, Lc3s, Fr3s, rr3s = row_stats(Z_anchor[None])
+        ml_a = marg_loglik(Lc3s, Fr3s, rr3s)[0]
+        lpr_a = row_lprior2(Z_anchor[None])[0]
+        log_acc_a = ((ml_a + lpr_a) - (ml_cur + lpr_cur)
                      + log_q_anchor(Z) - log_q_anchor(Z_anchor))
         interior = jnp.all(Z > 0.0, axis=1)
         u_a = jax.random.uniform(ka3, (data.N,))
@@ -472,10 +478,12 @@ def update_z_chi(key, state, data, hp, cache: SweepCache, beta=1.0,
                                       jnp.log(u_a) < log_acc_a)
         acca = acc_a1[:, None]
         Z = jnp.where(acca, Z_anchor, Z)
-        a = jnp.where(acca, a3s[1], a3s[0])
-        Ul = [jnp.where(acca, u_[1], u_[0]) for u_ in Ul3s]
-        Lc = [[jnp.where(acc_a1, e[1], e[0]) for e in row] for row in Lc3s]
-        Fr = [jnp.where(acc_a1, f[1], f[0]) for f in Fr3s]
+        a = jnp.where(acca, a3s[0], a)
+        Ul = [jnp.where(acca, n_[0], o_) for n_, o_ in zip(Ul3s, Ul)]
+        Lc = [[jnp.where(acc_a1, n_[0], o_)
+               for n_, o_ in zip(nrow, orow)]
+              for nrow, orow in zip(Lc3s, Lc)]
+        Fr = [jnp.where(acc_a1, n_[0], o_) for n_, o_ in zip(Fr3s, Fr)]
 
     # exact joint chi | Z draw: precision C = I + s U'GU, linear b = s F'r
     z = jax.random.normal(kc, (Mm, data.N), state.chi.dtype)
@@ -1724,7 +1732,8 @@ def sweep_theta(key, state, data, hp, *, covariate_mean=False,
 def sweep_full(key, state, data, hp, c, *, covariate_mean=False,
                covariate_cov=False, beta=1.0, collapsed_z=False,
                gauge=False, p_indep=0.3, phi_chi_moves=0,
-               phi_chi_sigma=0.1, phi_mala_steps=4, phi_mala_step=0.05):
+               phi_chi_sigma=0.1, phi_mala_steps=4, phi_mala_step=0.05,
+               z_anchor=False):
     """Phase-3 (production) sweep.
 
     Plain order (BFMMM.h:1500-1554): Z, pi, alpha3, Phi, delta, A, gamma,
@@ -1742,7 +1751,7 @@ def sweep_full(key, state, data, hp, c, *, covariate_mean=False,
     cache = build_cache(data, state)
     if collapsed_z:
         state, cache = update_z_chi(ks[0], state, data, hp, cache, beta,
-                                    p_indep=p_indep)
+                                    p_indep=p_indep, anchor_prop=z_anchor)
     else:
         state, cache = update_z(ks[0], state, data, hp, cache, beta)
     state = update_pi(ks[1], state, hp, c)

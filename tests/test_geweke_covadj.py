@@ -165,6 +165,6 @@ def test_geweke_collapsed_gauge_sweep():
     _run_geweke(
         _prior_draw, _draw_y, _stats,
         dict(collapsed_z=True, gauge=True, phi_chi_moves=2,
-             phi_mala_steps=1),
+             phi_mala_steps=1, z_anchor=True),
         STAT_NAMES, None,
         n_mc=8000, n_sc=3000, n_chains=8, chi2_stats=(2, 3))
