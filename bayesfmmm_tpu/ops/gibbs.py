@@ -1678,6 +1678,70 @@ def update_phi_mala(key, state, data, hp, cache: SweepCache, beta=1.0, *,
 
 
 # ---------------------------------------------------------------------------
+# Whole-model HMC hybrid step (round 5) — one Metropolis-adjusted leapfrog
+# trajectory over the FULL unconstrained joint (models/logjoint.py),
+# composed into the Gibbs sweep.
+#
+# NOT a reference kernel.  The round-5 attribution chain (BENCH_SUITE.md
+# §3) ends at a COLLECTIVE soft mode of the co-adapted (Z, nu, Phi)
+# configuration: within-block kernels — however collapsed or gradient-
+# informed — move orthogonally to it, which is exactly the regime where a
+# whole-model gradient trajectory (all blocks move together along the
+# joint posterior's soft directions) is the right tool.  The target is
+# the same posterior (make_log_joint carries the exact priors + transform
+# Jacobians; parity covered by the HMC tests), so the composition is
+# invariant; the production-sweep Geweke test proves it jointly when
+# wired in via ``hmc_steps``.
+#
+# On REJECT the ORIGINAL state is returned (not the unconstrained
+# round-trip, whose boundary clipping would otherwise nudge exact-zero Z
+# entries — an invalid systematic drift).
+# ---------------------------------------------------------------------------
+
+def update_hmc_joint(key, state, data, hp, c, beta=1.0, *, eps=0.01,
+                     n_leapfrog=8, inv_mass=None):
+    """One jittered-length HMC trajectory on the whole unconstrained
+    model.  ``inv_mass``: flat diagonal inverse mass (ravel_pytree order
+    of models/logjoint.UncState) — pass warmup-frozen posterior variances
+    for well-scaled trajectories; defaults to identity."""
+    from jax.flatten_util import ravel_pytree
+
+    from bayesfmmm_tpu.models import logjoint as lj_mod
+
+    lj = lj_mod.make_log_joint(data, hp, c, temperature=beta)
+    unc = lj_mod.from_state(state)
+    flat, unravel = ravel_pytree(unc)
+    if inv_mass is None:
+        inv_mass = jnp.ones_like(flat)
+    else:
+        inv_mass = jnp.asarray(inv_mass, flat.dtype)
+
+    vg = jax.value_and_grad(lambda q: lj(unravel(q)))
+    logp0, grad0 = vg(flat)
+    kp, ka, kj = jax.random.split(key, 3)
+    p0 = jax.random.normal(kp, flat.shape, flat.dtype) / jnp.sqrt(inv_mass)
+    n = jax.random.randint(kj, (), 1, n_leapfrog + 1)
+
+    def body(_, carry):
+        q, p, grad = carry
+        p = p + 0.5 * eps * grad
+        q = q + eps * inv_mass * p
+        _, grad = vg(q)
+        p = p + 0.5 * eps * grad
+        return q, p, grad
+
+    q, p, grad = jax.lax.fori_loop(0, n, body, (flat, p0, grad0))
+    logp1, _ = vg(q)
+    ke0 = 0.5 * jnp.sum(inv_mass * p0 * p0)
+    ke1 = 0.5 * jnp.sum(inv_mass * p * p)
+    log_acc = (logp1 - ke1) - (logp0 - ke0)
+    ok = jnp.log(jax.random.uniform(ka)) < jnp.nan_to_num(
+        log_acc, nan=-jnp.inf)
+    new_state = lj_mod.to_state(unravel(q))
+    return jax.tree.map(lambda a, b: jnp.where(ok, a, b), new_state, state)
+
+
+# ---------------------------------------------------------------------------
 # Sweep compositions — the three phase drivers' scan orders
 # (BFMMM.h:1073-1100 phase 1; :1253-1298 phase 2; :1500-1554 phase 3;
 # CovAdj orders from BFMMM.h:3742-3769, :3952-3999, :4810-4893).
@@ -1733,7 +1797,8 @@ def sweep_full(key, state, data, hp, c, *, covariate_mean=False,
                covariate_cov=False, beta=1.0, collapsed_z=False,
                gauge=False, p_indep=0.3, phi_chi_moves=0,
                phi_chi_sigma=0.1, phi_mala_steps=4, phi_mala_step=0.05,
-               z_anchor=False):
+               z_anchor=False, hmc_steps=0, hmc_eps=0.01,
+               hmc_inv_mass=None):
     """Phase-3 (production) sweep.
 
     Plain order (BFMMM.h:1500-1554): Z, pi, alpha3, Phi, delta, A, gamma,
@@ -1793,4 +1858,9 @@ def sweep_full(key, state, data, hp, c, *, covariate_mean=False,
             state, cache = update_phi_mala(
                 jax.random.fold_in(key, 7368787), state, data, hp, cache,
                 beta, step=phi_mala_step, n_steps=phi_mala_steps)
+        if hmc_steps > 0:
+            state = update_hmc_joint(
+                jax.random.fold_in(key, 9999991), state, data, hp, c,
+                beta, eps=hmc_eps, n_leapfrog=hmc_steps,
+                inv_mass=hmc_inv_mass)
     return state

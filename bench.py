@@ -73,6 +73,8 @@ PHI_MOVES = int(os.environ.get("BENCH_PHI_MOVES", 0))
 PHI_SIGMA = float(os.environ.get("BENCH_PHI_SIGMA", 0.1))
 MALA_STEPS = int(os.environ.get("BENCH_MALA_STEPS", 4))
 MALA_STEP = float(os.environ.get("BENCH_MALA_STEP", 0.05))
+HMC_STEPS = int(os.environ.get("BENCH_HMC_STEPS", 0))
+HMC_EPS = float(os.environ.get("BENCH_HMC_EPS", 0.003))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 ANNEAL = min(5000, WARMUP)
 CHUNK = 5000
@@ -187,6 +189,17 @@ def main():
             os.makedirs(os.path.dirname(ckpt), exist_ok=True)
             save_checkpoint(ckpt, states, chain_keys, iteration=WARMUP)
 
+    # whole-model HMC hybrid for the measurement windows (mass frozen
+    # from the equilibrated ensemble — standard adaptation-freeze)
+    hmc_inv_mass = None
+    if HMC_STEPS:
+        from jax.flatten_util import ravel_pytree
+
+        from bayesfmmm_tpu.models import logjoint as lj_mod
+        flats = jax.jit(jax.vmap(
+            lambda s: ravel_pytree(lj_mod.from_state(s))[0]))(states)
+        hmc_inv_mass = jnp.var(flats, axis=0) + 1e-8
+
     # ---- measured kept windows (REPEATS of them, chained) ----
     # Chunked like the warmup: one 20k-sweep scan is a single multi-minute
     # device dispatch, which the tunnel's RPC deadline kills; <=CHUNK-sweep
@@ -200,7 +213,9 @@ def main():
                                       phi_chi_moves=PHI_MOVES,
                                       phi_chi_sigma=PHI_SIGMA,
                                       phi_mala_steps=MALA_STEPS,
-                                      phi_mala_step=MALA_STEP)
+                                      phi_mala_step=MALA_STEP,
+                                      hmc_steps=HMC_STEPS, hmc_eps=HMC_EPS,
+                                      hmc_inv_mass=hmc_inv_mass)
                 w = st.Z[probe_obs] @ st.nu \
                     + jnp.einsum("nk,kpm,nm->np", st.Z[probe_obs], st.Phi,
                                  st.chi[probe_obs], precision="highest")

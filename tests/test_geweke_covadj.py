@@ -165,6 +165,6 @@ def test_geweke_collapsed_gauge_sweep():
     _run_geweke(
         _prior_draw, _draw_y, _stats,
         dict(collapsed_z=True, gauge=True, phi_chi_moves=2,
-             phi_mala_steps=1, z_anchor=True),
+             phi_mala_steps=1, z_anchor=True, hmc_steps=2, hmc_eps=0.02),
         STAT_NAMES, None,
         n_mc=8000, n_sc=3000, n_chains=8, chi2_stats=(2, 3))
