@@ -76,8 +76,8 @@ MALA_STEP = float(os.environ.get("BENCH_MALA_STEP", 0.05))
 HMC_STEPS = int(os.environ.get("BENCH_HMC_STEPS", 0))
 HMC_EPS = float(os.environ.get("BENCH_HMC_EPS", 0.003))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
-ANNEAL = min(5000, WARMUP)
-CHUNK = 5000
+ANNEAL = min(int(os.environ.get("BENCH_ANNEAL", 5000)), WARMUP)
+CHUNK = int(os.environ.get("BENCH_CHUNK", 5000))
 
 
 def _ckpt_path():
@@ -176,7 +176,7 @@ def main():
             f = warm_f if n == CHUNK else make_warm(n)
             bseg = np.interp([done, done + n - 1],
                              [0, max(ANNEAL - 1, 1), max(WARMUP - 1, 1)],
-                             [0.2, 1.0, 1.0])
+                             [float(os.environ.get("BENCH_BETA0", 0.2)), 1.0, 1.0])
             states = f(
                 jax.vmap(lambda k: jax.random.fold_in(k, 101 + ci))(
                     chain_keys),
