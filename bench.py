@@ -24,11 +24,13 @@ Protocol (round-4; see BENCH_SUITE.md):
     the reference chi-conditional kernel at the same 20k/5k budget; see
     update_z_chi docstring).  BENCH_COLLAPSED=0 reverts.
   * This posterior has a measured O(1e5)-sweep equilibration transient
-    (single-chain loglik still climbing at 30k sweeps) plus near-flat
-    convex-hull gauge ridges.  The bench therefore runs an ANNEALED WARMUP
-    (beta 0.2 -> 1 over 5k sweeps, then plain sweeps; gauge moves mix the
-    ridge) to the validated operating point, and measures kept windows at
-    stationarity.  Warmup cost is reported separately and AMORTIZED: the
+    plus warmup-assigned metastable basins (the round-5 finding: a short
+    anneal freezes chains into slightly-off collective configurations
+    whose loglik offsets persist for >1e5 sweeps).  The bench therefore
+    runs a DEEP ANNEALED WARMUP (beta 0.1 -> 1 over 40k sweeps, then
+    plain sweeps — measured to collapse the loglik R-hat 1.086 -> 1.006
+    and to 6x the multichain ESS; BENCH_SUITE.md §1/§3), and measures
+    kept windows at stationarity.  Warmup cost is reported separately and AMORTIZED: the
     equilibrated ensemble is saved with the exact-state checkpoint
     (io/checkpoint.py) and reused on subsequent runs (cold vs warm mode in
     the detail), the standard production pattern the reference's own
@@ -76,7 +78,7 @@ MALA_STEP = float(os.environ.get("BENCH_MALA_STEP", 0.05))
 HMC_STEPS = int(os.environ.get("BENCH_HMC_STEPS", 0))
 HMC_EPS = float(os.environ.get("BENCH_HMC_EPS", 0.003))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
-ANNEAL = min(int(os.environ.get("BENCH_ANNEAL", 5000)), WARMUP)
+ANNEAL = min(int(os.environ.get("BENCH_ANNEAL", 40000)), WARMUP)
 CHUNK = int(os.environ.get("BENCH_CHUNK", 5000))
 
 
@@ -176,7 +178,7 @@ def main():
             f = warm_f if n == CHUNK else make_warm(n)
             bseg = np.interp([done, done + n - 1],
                              [0, max(ANNEAL - 1, 1), max(WARMUP - 1, 1)],
-                             [float(os.environ.get("BENCH_BETA0", 0.2)), 1.0, 1.0])
+                             [float(os.environ.get("BENCH_BETA0", 0.1)), 1.0, 1.0])
             states = f(
                 jax.vmap(lambda k: jax.random.fold_in(k, 101 + ci))(
                     chain_keys),
